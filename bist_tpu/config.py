@@ -1,0 +1,207 @@
+"""Typed configuration for bist_tpu.
+
+Covers every flag of the reference CLI (reference: configs/train_configs.py:7-57
+and configs/test_configs.py:7-34) plus the shell-level defaults from
+scripts/exec.sh:10-54, expressed as dataclasses.  The same flag names are
+accepted by the drop-in CLI entry points (train.py / generate.py at repo root).
+
+Unlike the reference (argparse executed at module import), configs here are
+plain frozen-ish dataclasses: pure data, picklable, hashable enough to key jit
+caches on the *static* model structure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Static model architecture config.
+
+    Field names/defaults follow the reference flags (configs/train_configs.py):
+    --nb-blocks, --nb-venc-blocks, --nb-cenc-blocks, --nb-aenc-blocks,
+    --d-model, --att-h, --dropout, --ptr-gen, --ptr-ft, --mask-unk,
+    --dec-st-combine, --enc-st-combine, --enc-vc-combine, --auto-encoder,
+    --t2s, --s2t, --include-caption, --separate-caption.
+    """
+
+    vocab_size: int = 0
+    nb_blocks: int = 6
+    nb_venc_blocks: int = 0
+    nb_cenc_blocks: int = 0
+    nb_aenc_blocks: int = 0
+    d_model: int = 512
+    att_h: int = 8
+    dropout: float = 0.1
+    ptr_gen: bool = True
+    ptr_ft: str = "query,cap"
+    mask_unk: bool = True
+    dec_st_combine: str = "seq"      # 'seq' | 'sum' (parallel-sum)
+    enc_st_combine: str = "none"     # 'none' | 'sum' | 'dyn' | 'early_sum' | 'early_dyn'
+    enc_vc_combine: str = "dyn"      # 'none' | 'sum' | 'dyn'
+    auto_encoder: bool = True
+    t2s: bool = True
+    s2t: bool = True
+    include_caption: str = "none"    # 'none' | 'caption' | 'summary' | 'caption,summary'
+    separate_caption: bool = True
+    # Input feature dims: [visual_dim] or [visual_dim, audio_dim]; empty = text-only.
+    ft_sizes: Tuple[int, ...] = ()
+    # Compute dtype for activations on TPU; params stay float32.
+    dtype: str = "float32"
+    max_pos: int = 5000              # sinusoidal PE table length (modules.py:127)
+
+    def __post_init__(self):
+        if self.d_model % self.att_h != 0:
+            raise ValueError(f"d_model={self.d_model} not divisible by att_h={self.att_h}")
+        # The reference recomputes d_ff = d_model * 4 unconditionally (mtn.py:70),
+        # ignoring the parsed --d-ff flag.  We adopt that as the defined behaviour.
+        for blocks_name in ("nb_venc_blocks", "nb_cenc_blocks", "nb_aenc_blocks"):
+            n = getattr(self, blocks_name)
+            if n not in (0, self.nb_blocks):
+                # The reference indexes modality layers with the response-layer
+                # counter (decoder.py:114-135) and crashes when 0 < n < N; we
+                # make the constraint explicit.
+                raise ValueError(
+                    f"{blocks_name}={n} must be 0 or equal nb_blocks={self.nb_blocks}")
+        if self.enc_st_combine not in ("none", "sum", "dyn", "early_sum", "early_dyn"):
+            raise ValueError(f"bad enc_st_combine={self.enc_st_combine}")
+        if self.enc_vc_combine not in ("none", "sum", "dyn"):
+            raise ValueError(f"bad enc_vc_combine={self.enc_vc_combine}")
+        if self.dec_st_combine not in ("seq", "sum"):
+            raise ValueError(f"bad dec_st_combine={self.dec_st_combine}")
+
+    @property
+    def d_ff(self) -> int:
+        return self.d_model * 4
+
+    @property
+    def has_video(self) -> bool:
+        return self.nb_venc_blocks > 0 and len(self.ft_sizes) >= 1
+
+    @property
+    def has_audio(self) -> bool:
+        return self.nb_aenc_blocks > 0 and len(self.ft_sizes) >= 2
+
+    @property
+    def has_caption(self) -> bool:
+        return self.include_caption != "none" and self.separate_caption
+
+    @property
+    def use_cap_layers(self) -> bool:
+        return self.nb_cenc_blocks > 0
+
+    @property
+    def both_directions(self) -> bool:
+        return self.t2s and self.s2t
+
+    @property
+    def ptr_ft_list(self) -> Tuple[str, ...]:
+        return tuple(self.ptr_ft.split(","))
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyper-parameters (reference: configs/train_configs.py:44-57 +
+    scripts/exec.sh:31-37 defaults)."""
+
+    num_epochs: int = 15
+    rand_seed: int = 1
+    batch_size: int = 32
+    max_length: int = 256
+    max_history_length: int = -1
+    report_interval: int = 100
+    warmup_steps: int = 4000
+    save_all: bool = False
+    cutoff: int = 5
+    cut_a: bool = True
+    merge_source: bool = False
+    skip: int = 1
+    num_workers: int = 0
+    smoothing: float = 0.1           # LabelSmoothing(smoothing=0.1), train.py:94
+    noam_factor: float = 1.0         # NoamOpt(..., 1, ...), train.py:129
+    adam_b1: float = 0.9
+    adam_b2: float = 0.98
+    adam_eps: float = 1e-9
+    # TPU additions (no reference equivalent):
+    data_axis: str = "data"          # mesh axis name for data parallelism
+    num_devices: int = 0             # 0 = all visible devices
+    grad_checkpoint: bool = False    # jax.checkpoint on decoder layers
+    # Static-shape bucketing (replaces ragged per-batch max padding).
+    len_buckets: Tuple[int, ...] = (16, 32, 64, 128, 256)
+    time_buckets: Tuple[int, ...] = (16, 32, 48, 64)
+
+
+@dataclass(frozen=True)
+class GenerateConfig:
+    """Decoding config (reference: configs/test_configs.py:7-34; exec.sh
+    overrides beam=5, penalty=1.0)."""
+
+    maxlen: int = 12
+    beam: int = 3
+    penalty: float = 2.0
+    nbest: int = 5
+    min_len: int = 1
+    dec_eos: bool = False
+    undisclosed_only: bool = False
+    decode_style: str = "beam_search"   # 'beam_search' | 'greedy'
+    gen_batch_size: int = 32            # TPU addition: batched generation
+                                        # (reference runs batch=1, generate.py:112)
+
+
+# ---------------------------------------------------------------------------
+# (de)serialisation — replaces the reference's pickle of (vocab, argparse-args)
+# to <model>.conf (train.py:105-107).  We write JSON for safety + portability
+# but keep the same artifact role: everything needed to rebuild the model at
+# generation time.
+
+
+def config_to_dict(cfg) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def model_config_from_dict(d: Dict[str, Any]) -> ModelConfig:
+    d = dict(d)
+    if "ft_sizes" in d and d["ft_sizes"] is not None:
+        d["ft_sizes"] = tuple(d["ft_sizes"])
+    return ModelConfig(**d)
+
+
+def train_config_from_dict(d: Dict[str, Any]) -> TrainConfig:
+    d = dict(d)
+    for k in ("len_buckets", "time_buckets"):
+        if k in d and d[k] is not None:
+            d[k] = tuple(d[k])
+    return TrainConfig(**d)
+
+
+def save_conf(path: str, vocab: Dict[str, int], model_cfg: ModelConfig,
+              train_cfg: TrainConfig, extra: Optional[Dict[str, Any]] = None) -> None:
+    """Write the `.conf` companion file (JSON).
+
+    Role-equivalent to the reference's pickled (vocab, args) (train.py:105-107),
+    consumed at generation time (generate.py:90-92)."""
+    payload = {
+        "vocab": vocab,
+        "model": config_to_dict(model_cfg),
+        "train": config_to_dict(train_cfg),
+        "extra": extra or {},
+        "format": "bist_tpu.conf.v1",
+    }
+    with open(path, "w") as f:
+        json.dump(payload, f)
+
+
+def load_conf(path: str):
+    with open(path) as f:
+        payload = json.load(f)
+    vocab = {k: int(v) for k, v in payload["vocab"].items()}
+    model_cfg = model_config_from_dict(payload["model"])
+    train_cfg = train_config_from_dict(payload["train"])
+    return vocab, model_cfg, train_cfg, payload.get("extra", {})

@@ -1,0 +1,165 @@
+"""Batched beam search + greedy decoding as single compiled programs.
+
+Scoring parity with the reference `beam_search_decode` (model/decode.py:53-104):
+  * cumulative log-prob expansion with a fixed-size beam = top-`beam`
+    continuations (the reference's argmin-eviction loop computes exactly the
+    top-beam set, decode.py:79-97);
+  * completion candidates at every step l ≥ min_len with score
+    lp[<eos>] + penalty · (len + 1), collected across ALL steps and ranked at
+    the end (decode.py:73-77, 100-104);
+  * <unk> always banned from expansion; <eos> banned unless dec_eos
+    (decode.py:80-83);
+  * returned hypotheses exclude <sos>/<eos>.
+
+TPU-native design: the whole search is one jit program — encode once, then a
+`lax.scan` over maxlen steps where each step advances B·beam cached decoder
+rows (models.model.decode_step).  The reference instead re-runs its full
+decoder over the whole prefix for every hypothesis of every step at batch
+size 1 with a host-side numpy beam (decode.py:62-71) — the structural source
+of the ≥10× throughput gap.
+
+`greedy_decode` replaces the reference's broken greedy path (decode.py:31-51
+calls a nonexistent free `encode()`) with working argmax decoding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bist_tpu.config import GenerateConfig, ModelConfig
+from bist_tpu.data.batching import Batch
+from bist_tpu.models.model import (
+    DecodeCache, decode_step, init_cache, precompute_decode_ctx,
+)
+from bist_tpu.vocab import EOS, PAD, SOS, UNK
+
+NEG = -1.0e30
+
+
+def _tile_for_beam(tree, K: int):
+    """Repeat every leaf's leading batch dim K times: row b → rows b*K..b*K+K-1."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, K, axis=0) if x is not None else None, tree)
+
+
+class BeamResult(NamedTuple):
+    tokens: jnp.ndarray   # (B, nbest, maxlen) int32, PAD-padded, no sos/eos
+    scores: jnp.ndarray   # (B, nbest) float32 (NEG = empty slot)
+    lengths: jnp.ndarray  # (B, nbest) int32
+
+
+def beam_search(params, cfg: ModelConfig, batch: Batch,
+                gcfg: GenerateConfig) -> BeamResult:
+    """Run beam search for every row of `batch` simultaneously."""
+    K, maxlen, nbest = gcfg.beam, gcfg.maxlen, gcfg.nbest
+    B = batch.query.shape[0]
+
+    ctx = precompute_decode_ctx(params, cfg, batch)
+    ctx_t = _tile_for_beam(ctx, K)
+    cache = init_cache(cfg, B * K, maxlen + 1)
+
+    tokens0 = jnp.full((B, K, maxlen + 1), PAD, jnp.int32).at[:, :, 0].set(SOS)
+    scores0 = jnp.full((B, K), NEG, jnp.float32).at[:, 0].set(0.0)
+    comp_tokens0 = jnp.full((B, nbest, maxlen), PAD, jnp.int32)
+    comp_scores0 = jnp.full((B, nbest), NEG, jnp.float32)
+    comp_lens0 = jnp.zeros((B, nbest), jnp.int32)
+
+    V = cfg.vocab_size
+    pos_range = jnp.arange(maxlen)
+
+    def step(carry, l):
+        tokens, scores, cache, comp_tokens, comp_scores, comp_lens = carry
+        cur = jax.lax.dynamic_index_in_dim(tokens, l, axis=2, keepdims=False)
+        logp, cache = decode_step(params, cfg, ctx_t, cache,
+                                  cur.reshape(B * K), l)
+        lp = scores[:, :, None] + logp.reshape(B, K, V)      # (B, K, V)
+
+        # --- completion candidates (decode.py:73-77) ---
+        cand_score = lp[:, :, EOS] + gcfg.penalty * (l + 1).astype(jnp.float32)
+        cand_score = jnp.where(l >= gcfg.min_len, cand_score, NEG)
+        prefix = tokens[:, :, 1:]                            # (B, K, maxlen)
+        cand_tok = jnp.where(pos_range[None, None, :] < l, prefix, PAD)
+        all_scores = jnp.concatenate([comp_scores, cand_score], axis=1)
+        all_tokens = jnp.concatenate([comp_tokens, cand_tok], axis=1)
+        all_lens = jnp.concatenate(
+            [comp_lens, jnp.full((B, K), l, jnp.int32)], axis=1)
+        top_scores, top_idx = jax.lax.top_k(all_scores, nbest)
+        comp_scores = top_scores
+        comp_tokens = jnp.take_along_axis(all_tokens, top_idx[:, :, None], axis=1)
+        comp_lens = jnp.take_along_axis(all_lens, top_idx, axis=1)
+
+        # --- expansion (decode.py:79-97): top-K over (K·V) continuations ---
+        lp = lp.at[:, :, UNK].set(NEG)
+        if not gcfg.dec_eos:
+            lp = lp.at[:, :, EOS].set(NEG)
+        flat = lp.reshape(B, K * V)
+        new_scores, flat_idx = jax.lax.top_k(flat, K)
+        parent = flat_idx // V                                # (B, K)
+        new_tok = (flat_idx % V).astype(jnp.int32)
+
+        tokens = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
+        tokens = jax.lax.dynamic_update_index_in_dim(
+            tokens, new_tok, l + 1, axis=2)
+
+        # gather the KV cache rows of the chosen parents
+        def regroup(c):
+            c = c.reshape((cfg.nb_blocks, B, K) + c.shape[2:])
+            c = jnp.take_along_axis(
+                c, parent[None, :, :, None, None, None], axis=2)
+            return c.reshape((cfg.nb_blocks, B * K) + c.shape[3:])
+
+        cache = DecodeCache(k=regroup(cache.k), v=regroup(cache.v))
+        return (tokens, new_scores, cache, comp_tokens, comp_scores,
+                comp_lens), None
+
+    carry0 = (tokens0, scores0, cache, comp_tokens0, comp_scores0, comp_lens0)
+    (tokens, scores, cache, comp_tokens, comp_scores, comp_lens), _ = \
+        jax.lax.scan(step, carry0, jnp.arange(maxlen))
+    return BeamResult(tokens=comp_tokens, scores=comp_scores, lengths=comp_lens)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "gcfg"))
+def beam_search_jit(params, cfg: ModelConfig, batch: Batch,
+                    gcfg: GenerateConfig) -> BeamResult:
+    return beam_search(params, cfg, batch, gcfg)
+
+
+def greedy_decode(params, cfg: ModelConfig, batch: Batch,
+                  maxlen: int) -> jnp.ndarray:
+    """Argmax decoding; returns (B, maxlen) token ids (may contain <eos>;
+    caller truncates).  Fixes the reference's dead greedy path."""
+    B = batch.query.shape[0]
+    ctx = precompute_decode_ctx(params, cfg, batch)
+    cache = init_cache(cfg, B, maxlen + 1)
+    tok0 = jnp.full((B,), SOS, jnp.int32)
+
+    def step(carry, l):
+        tok, cache = carry
+        logp, cache = decode_step(params, cfg, ctx, cache, tok, l)
+        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        return (nxt, cache), nxt
+
+    (_, _), out = jax.lax.scan(step, (tok0, cache), jnp.arange(maxlen))
+    return jnp.moveaxis(out, 0, 1)  # (B, maxlen)
+
+
+def extract_hyps(result: BeamResult, id2word: List[str],
+                 row: int, nbest: int) -> List[Tuple[List[str], float]]:
+    """Host-side: decode the nbest hypotheses of one batch row to words.
+
+    Mirrors generate.py:61-71: stop at <eos> (none stored), join words."""
+    out = []
+    toks = np.asarray(result.tokens[row])
+    scores = np.asarray(result.scores[row])
+    lens = np.asarray(result.lengths[row])
+    for n in range(min(nbest, toks.shape[0])):
+        if scores[n] <= NEG / 2:
+            continue
+        words = [id2word[t] for t in toks[n, : lens[n]]]
+        out.append((words, float(scores[n])))
+    return out

@@ -1,0 +1,226 @@
+"""Transformer primitives, functional JAX style: params are nested dicts of
+jnp arrays; apply functions are pure.
+
+Numerical parity targets (reference model/modules.py):
+  * LayerNorm divides by (std + eps) where std uses Bessel's correction
+    (torch Tensor.std default, unbiased) — NOT the variance-based layer norm
+    (modules.py:20-31).
+  * SublayerConnection: x + dropout(sublayer(LN(x))) — pre-norm residual
+    (modules.py:33-44).
+  * Scaled-dot attention with additive -1e9 masking where mask == 0
+    (modules.py:54-64).
+  * MultiHeadedAttention with 4 linears (q/k/v/out), d_k = d_model / h
+    (modules.py:66-100); attention-probability dropout inside.
+  * PositionwiseFeedForward: W2(dropout(relu(W1 x))) (modules.py:102-113).
+  * Embeddings scaled by sqrt(d_model) (modules.py:115-123).
+  * Sinusoidal PositionalEncoding added then dropout (modules.py:125-144).
+
+Init parity (reference mtn.py:163-165): xavier-uniform for every parameter
+with ndim > 1 (weights AND the embedding table); biases keep the torch Linear
+default U(-1/sqrt(fan_in), 1/sqrt(fan_in)); LayerNorm scale=1, bias=0.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+NEG_INF = -1e9
+
+
+class RngGen:
+    """Deterministic per-site dropout key generator for use during tracing.
+
+    Holds a base PRNG key; each next() folds in a fresh site counter.  Pass
+    None instead of an RngGen to disable dropout (eval mode)."""
+
+    def __init__(self, key: jax.Array):
+        self._key = key
+        self._n = 0
+
+    def next(self) -> jax.Array:
+        self._n += 1
+        return jax.random.fold_in(self._key, self._n)
+
+
+def dropout(x: jnp.ndarray, rate: float, rngs: Optional[RngGen]) -> jnp.ndarray:
+    """Inverted dropout; identity when rngs is None or rate == 0."""
+    if rngs is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rngs.next(), p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+# ---------------------------------------------------------------------------
+# Inits
+
+
+def xavier_uniform(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
+    fan_in, fan_out = shape[0], shape[1]
+    if len(shape) > 2:
+        receptive = int(np.prod(shape[2:]))
+        fan_in, fan_out = fan_in * receptive, fan_out * receptive
+    bound = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def linear_init(key: jax.Array, d_in: int, d_out: int) -> Params:
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(d_in)
+    return {
+        "w": xavier_uniform(kw, (d_in, d_out)),
+        "b": jax.random.uniform(kb, (d_out,), jnp.float32, -bound, bound),
+    }
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(x, p["w"]) + p["b"]
+
+
+def layer_norm_init(d: int) -> Params:
+    return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """(x - mean) / (std + eps) with Bessel-corrected std (modules.py:27-31)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    d = x.shape[-1]
+    var = jnp.sum(jnp.square(x - mean), axis=-1, keepdims=True) / max(d - 1, 1)
+    std = jnp.sqrt(var)
+    return p["scale"] * (x - mean) / (std + eps) + p["bias"]
+
+
+def embedding_init(key: jax.Array, vocab: int, d_model: int) -> Params:
+    return {"lut": xavier_uniform(key, (vocab, d_model))}
+
+
+def embed(p: Params, ids: jnp.ndarray, d_model: int) -> jnp.ndarray:
+    return jnp.take(p["lut"], ids, axis=0) * math.sqrt(d_model)
+
+
+def positional_encoding_table(d_model: int, max_len: int = 5000) -> jnp.ndarray:
+    """Sinusoidal table (max_len, d_model) (modules.py:125-144)."""
+    position = np.arange(0.0, max_len)[:, None]
+    div_term = np.exp(np.arange(0.0, d_model, 2) * -(math.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return jnp.asarray(pe)
+
+
+def add_positional(pe: jnp.ndarray, x: jnp.ndarray, rate: float,
+                   rngs: Optional[RngGen], offset: int = 0) -> jnp.ndarray:
+    """x + pe[offset:offset+L] then dropout.  `offset` supports incremental
+    decoding where x is the single token at absolute position `offset`."""
+    L = x.shape[-2]
+    if isinstance(offset, int) and offset == 0:
+        x = x + pe[:L]
+    else:
+        x = x + jax.lax.dynamic_slice_in_dim(pe, offset, L, axis=0)
+    return dropout(x, rate, rngs)
+
+
+# ---------------------------------------------------------------------------
+# Multi-head attention
+
+
+def mha_init(key: jax.Array, h: int, d_model: int, d_in: int = -1) -> Params:
+    if d_in < 0:
+        d_in = d_model
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "wq": linear_init(kq, d_in, d_model),
+        "wk": linear_init(kk, d_in, d_model),
+        "wv": linear_init(kv, d_in, d_model),
+        "wo": linear_init(ko, d_model, d_in),
+    }
+
+
+def split_heads(x: jnp.ndarray, h: int) -> jnp.ndarray:
+    """(..., L, d_model) → (..., h, L, d_k)."""
+    *lead, L, d = x.shape
+    x = x.reshape(*lead, L, h, d // h)
+    return jnp.moveaxis(x, -2, -3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., h, L, d_k) → (..., L, h*d_k)."""
+    x = jnp.moveaxis(x, -3, -2)
+    *lead, L, h, dk = x.shape
+    return x.reshape(*lead, L, h * dk)
+
+
+def attention_weights(q: jnp.ndarray, k: jnp.ndarray,
+                      mask: Optional[jnp.ndarray],
+                      drop_rate: float, rngs: Optional[RngGen]) -> jnp.ndarray:
+    """softmax(QK^T / sqrt(d_k)) with -1e9 masking (modules.py:54-64).
+
+    q: (..., h, Lq, d_k); k: (..., h, Lk, d_k); leading dims broadcast.
+    mask broadcastable to (..., 1, Lq, Lk); masked where == 0."""
+    d_k = q.shape[-1]
+    scores = jnp.einsum("...qd,...kd->...qk", q, k) / math.sqrt(d_k)
+    if mask is not None:
+        scores = jnp.where(mask == 0, NEG_INF, scores)
+    p_attn = jax.nn.softmax(scores, axis=-1)
+    return dropout(p_attn, drop_rate, rngs)
+
+
+def mha(p: Params, h: int, query: jnp.ndarray, key: jnp.ndarray,
+        value: jnp.ndarray, mask: Optional[jnp.ndarray] = None, *,
+        drop_rate: float = 0.1, rngs: Optional[RngGen] = None,
+        return_attn: bool = False):
+    """Multi-head attention with arbitrary broadcastable leading batch dims.
+
+    query (..., Lq, D), key/value (..., Lk, D).  The projections run on the
+    *unbroadcast* inputs (the efficiency win over the reference, which
+    materialises expanded copies before projecting, encoder.py:114-147); only
+    the score einsum and the output see broadcast shapes.
+
+    mask: broadcastable to scores' (..., 1, Lq, Lk); positions where mask == 0
+    get -1e9 (modules.py:58-59).  The extra `1` head axis mirrors the
+    reference's mask.unsqueeze(1) (modules.py:83-85)."""
+    Q = split_heads(linear(p["wq"], query), h)
+    K = split_heads(linear(p["wk"], key), h)
+    V = split_heads(linear(p["wv"], value), h)
+    if mask is not None:
+        mask = mask[..., None, :, :]       # add head axis
+    attn = attention_weights(Q, K, mask, drop_rate, rngs)
+    x = jnp.einsum("...qk,...kd->...qd", attn, V)
+    out = linear(p["wo"], merge_heads(x))
+    if return_attn:
+        return out, attn
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Feed-forward and sublayer
+
+
+def ffn_init(key: jax.Array, d_model: int, d_ff: int, d_out: int = -1) -> Params:
+    if d_out < 0:
+        d_out = d_model
+    k1, k2 = jax.random.split(key)
+    return {"w1": linear_init(k1, d_model, d_ff), "w2": linear_init(k2, d_ff, d_out)}
+
+
+def ffn(p: Params, x: jnp.ndarray, drop_rate: float,
+        rngs: Optional[RngGen]) -> jnp.ndarray:
+    return linear(p["w2"], dropout(jax.nn.relu(linear(p["w1"], x)), drop_rate, rngs))
+
+
+def sublayer(p_norm: Params, x: jnp.ndarray, fn, drop_rate: float,
+             rngs: Optional[RngGen]) -> jnp.ndarray:
+    """x + dropout(fn(LN(x))) (modules.py:33-44).  `fn` sees the normed x."""
+    return x + dropout(fn(layer_norm(p_norm, x)), drop_rate, rngs)
+
+
+def subsequent_mask(size: int) -> jnp.ndarray:
+    """(1, L, L) lower-triangular causal mask, 1 = attend (data_utils.py:14-18)."""
+    return jnp.tril(jnp.ones((1, size, size), dtype=jnp.int32))

@@ -1,0 +1,326 @@
+"""Full BiST model: parameter init, masks, training forward, and the
+incremental (KV-cached) decode path.
+
+Container parity: reference MTN + make_model (model/mtn.py:14-167):
+  * text "encoder" = 3 independent LayerNorms over embedded query/cap/his
+    (encoder.py:11-41) with the reference's index-advance-on-non-None rule;
+  * video/audio input projection Linear+ReLU+LayerNorm (VidEncoder8,
+    encoder.py:55-93); positional encoding over video is NOT applied — the
+    reference parses --vid-pos but never wires it (mtn.py:108);
+  * shared embedding for query/cap/his/target, scaled ×√d_model, tied into
+    the generator and the AE generator (mtn.py:77-103);
+  * xavier-uniform init for every ndim>1 parameter (mtn.py:163-165).
+
+TPU-first addition — the incremental decode path: the whole modality
+reasoning stack depends only on the sources (never on the target), so
+`precompute_decode_ctx` runs it once per batch, pre-projects every
+cross-attention K/V, and `decode_step` advances one token with a growing
+self-attention KV cache.  The reference instead re-runs the FULL decoder on
+the whole prefix for every hypothesis at every step (decode.py:62-70) —
+O(beam·L²) full forward passes per response."""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bist_tpu.config import ModelConfig
+from bist_tpu.data.batching import Batch
+from bist_tpu.models import bist
+from bist_tpu.models.generator import apply_generator, generator_init
+from bist_tpu.models.layers import (
+    Params, RngGen, add_positional, attention_weights, embed, embedding_init,
+    layer_norm, layer_norm_init, linear, linear_init, merge_heads, mha,
+    mha_init, positional_encoding_table, split_heads, subsequent_mask,
+)
+from bist_tpu.vocab import PAD
+
+FT = Dict[str, jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Init
+
+
+def init_model(key: jax.Array, cfg: ModelConfig) -> Params:
+    ks = jax.random.split(key, 8)
+    params: Params = {
+        "embed": embedding_init(ks[0], cfg.vocab_size, cfg.d_model),
+        "text_enc": {"norms": [layer_norm_init(cfg.d_model) for _ in range(3)]},
+        "decoder": bist.decoder_init(ks[1], cfg),
+        "gen": generator_init(ks[2], cfg),
+    }
+    vid_enc: Params = {}
+    if cfg.has_video:
+        vid_enc["W"] = linear_init(ks[3], cfg.ft_sizes[0], cfg.d_model)
+        vid_enc["in_norm"] = layer_norm_init(cfg.d_model)
+    if cfg.has_audio:
+        vid_enc["a_W"] = linear_init(ks[4], cfg.ft_sizes[1], cfg.d_model)
+        vid_enc["a_in_norm"] = layer_norm_init(cfg.d_model)
+    params["vid_enc"] = vid_enc
+    return params
+
+
+def count_params(params: Params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Masks (reference Batch, data/dataset.py:59-105)
+
+
+def build_masks(cfg: ModelConfig, batch: Batch) -> Dict[str, Optional[jnp.ndarray]]:
+    masks: Dict[str, Optional[jnp.ndarray]] = {}
+    masks["query_mask"] = (batch.query != PAD)[:, None, :].astype(jnp.int32)
+    masks["his_mask"] = (batch.his != PAD)[:, None, :].astype(jnp.int32)
+    masks["cap_mask"] = ((batch.cap != PAD)[:, None, :].astype(jnp.int32)
+                         if batch.cap is not None else None)
+    trg_pad = (batch.trg != PAD)[:, None, :].astype(jnp.int32)
+    masks["trg_mask"] = trg_pad & subsequent_mask(batch.trg.shape[-1])
+    if batch.fts is not None:
+        f = batch.fts
+        masks["spatial_mask"] = (jnp.sum(f, axis=(1, 3)) != 0)[:, None, :].astype(jnp.int32)
+        masks["temporal_mask"] = (jnp.sum(f, axis=(2, 3)) != 0)[:, None, :].astype(jnp.int32)
+    else:
+        masks["spatial_mask"] = masks["temporal_mask"] = None
+    if batch.audio_fts is not None:
+        masks["audio_mask"] = (jnp.sum(batch.audio_fts, axis=-1) != 0)[:, None, :] \
+            .astype(jnp.int32)
+    else:
+        masks["audio_mask"] = None
+    return masks
+
+
+def token_counts(batch: Batch) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(ntokens, qntokens) — loss normalisers (dataset.py:98-99)."""
+    return (jnp.sum(batch.trg_y != PAD), jnp.sum(batch.query != PAD))
+
+
+# ---------------------------------------------------------------------------
+# Encode (MTN.encode, mtn.py:36-51)
+
+
+def _embed_seq(params: Params, cfg: ModelConfig, pe: jnp.ndarray,
+               ids: Optional[jnp.ndarray], rngs: Optional[RngGen],
+               offset: int = 0) -> Optional[jnp.ndarray]:
+    if ids is None:
+        return None
+    x = embed(params["embed"], ids, cfg.d_model)
+    return add_positional(pe, x, cfg.dropout, rngs, offset=offset)
+
+
+def encode(params: Params, cfg: ModelConfig, batch: Batch,
+           rngs: Optional[RngGen] = None) -> FT:
+    """Text norms + video/audio input projections."""
+    pe = positional_encoding_table(cfg.d_model, cfg.max_pos)
+    ft: FT = {}
+    q_emb = _embed_seq(params, cfg, pe, batch.query, rngs)
+    c_emb = _embed_seq(params, cfg, pe, batch.cap, rngs)
+    h_emb = _embed_seq(params, cfg, pe, batch.his, rngs)
+    # Encoder norm index advances only over non-None inputs (encoder.py:19-41):
+    # query always norm[0]; cap norm[1] if present; his takes the next slot.
+    norms = params["text_enc"]["norms"]
+    ft["encoded_query"] = layer_norm(norms[0], q_emb)
+    i = 1
+    if c_emb is not None:
+        ft["encoded_cap"] = layer_norm(norms[i], c_emb)
+        i += 1
+    ft["encoded_his"] = layer_norm(norms[i], h_emb)
+
+    if cfg.has_video and batch.fts is not None:
+        v = jax.nn.relu(linear(params["vid_enc"]["W"], batch.fts))
+        ft["video_grid"] = layer_norm(params["vid_enc"]["in_norm"], v)
+    if cfg.has_audio and batch.audio_fts is not None:
+        a = jax.nn.relu(linear(params["vid_enc"]["a_W"], batch.audio_fts))
+        ft["encoded_audio"] = layer_norm(params["vid_enc"]["a_in_norm"], a)
+    return ft
+
+
+def generator_tokens(batch: Batch, masks) -> Dict[str, jnp.ndarray]:
+    toks = {
+        "query": batch.query, "query_mask": masks["query_mask"],
+        "his": batch.his, "his_mask": masks["his_mask"],
+    }
+    if batch.cap is not None:
+        toks["cap"] = batch.cap
+        toks["cap_mask"] = masks["cap_mask"]
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Training forward (MTN.forward, mtn.py:31-61)
+
+
+def apply_model(params: Params, cfg: ModelConfig, batch: Batch,
+                rngs: Optional[RngGen] = None) -> FT:
+    """Full forward: returns ft with 'decoded_text', 'encoded_tgt' and the
+    final-layer modality features (for AE losses and the generator)."""
+    masks = build_masks(cfg, batch)
+    ft = encode(params, cfg, batch, rngs)
+    pe = positional_encoding_table(cfg.d_model, cfg.max_pos)
+    tgt = _embed_seq(params, cfg, pe, batch.trg, rngs)
+    ft["encoded_tgt"] = tgt
+    ft = bist.decoder_apply(params["decoder"], cfg, ft, tgt, masks, rngs)
+    return ft
+
+
+def forward_logprobs(params: Params, cfg: ModelConfig, batch: Batch,
+                     rngs: Optional[RngGen] = None) -> Tuple[jnp.ndarray, FT]:
+    """Forward + generator → (B, Lt, V) log-probs (the training criterion
+    input, optimize.py:49)."""
+    masks = build_masks(cfg, batch)
+    ft = apply_model(params, cfg, batch, rngs)
+    toks = generator_tokens(batch, masks)
+    logp = apply_generator(params["gen"], cfg, params["embed"]["lut"], ft, toks)
+    return logp, ft
+
+
+# ---------------------------------------------------------------------------
+# Incremental decoding
+
+
+class DecodeCtx(NamedTuple):
+    """Everything target-independent, precomputed once per batch:
+    per-layer cross-attention K/V (already head-split) + masks + generator
+    sources.  A pure pytree — safe to jit over and to tile across beams."""
+    layer_kv: Tuple[Dict[str, Tuple[jnp.ndarray, jnp.ndarray]], ...]
+    masks: Dict[str, Optional[jnp.ndarray]]
+    ft: FT                      # encoded_query/cap/his (+ encoded_ft etc. unused)
+    tokens: Dict[str, jnp.ndarray]
+
+
+class DecodeCache(NamedTuple):
+    """Per-layer self-attention KV cache, (layers, B, h, Lmax, d_k)."""
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+
+def _cross_kv(p_attn: Params, h: int, memory: jnp.ndarray):
+    K = split_heads(linear(p_attn["wk"], memory), h)
+    V = split_heads(linear(p_attn["wv"], memory), h)
+    return K, V
+
+
+def precompute_decode_ctx(params: Params, cfg: ModelConfig,
+                          batch: Batch) -> DecodeCtx:
+    """Run encode + the full modality reasoning stack once; pre-project every
+    mm-layer cross-attention's K/V."""
+    masks = build_masks(cfg, batch)
+    ft = encode(params, cfg, batch, None)
+    dec = params["decoder"]
+    in_ft: FT = {k: ft["encoded_query"] for k in ("t2s", "s2t", "audio", "cap")}
+    layer_kv = []
+    for n in range(cfg.nb_blocks):
+        ft, in_ft = bist.modality_step(dec, cfg, n, in_ft, ft, masks, None)
+        lp = dec["mm_layers"][n]
+        kv: Dict[str, Any] = {
+            "his": _cross_kv(lp["his"]["attn"], cfg.att_h, ft["encoded_his"]),
+            "query": _cross_kv(lp["query"]["attn"], cfg.att_h, ft["encoded_query"]),
+        }
+        for name, ft_key, mask_key in bist.mm_layer_cross_slots(cfg):
+            kv[name] = _cross_kv(lp[name]["attn"], cfg.att_h, ft[ft_key])
+        layer_kv.append(kv)
+    toks = generator_tokens(batch, masks)
+    keep = ("encoded_query", "encoded_cap", "encoded_his")
+    ctx_ft = {k: v for k, v in ft.items() if k in keep}
+    return DecodeCtx(layer_kv=tuple(layer_kv), masks=masks, ft=ctx_ft, tokens=toks)
+
+
+def init_cache(cfg: ModelConfig, batch_size: int, max_len: int) -> DecodeCache:
+    shape = (cfg.nb_blocks, batch_size, cfg.att_h, max_len,
+             cfg.d_model // cfg.att_h)
+    return DecodeCache(k=jnp.zeros(shape, jnp.float32),
+                       v=jnp.zeros(shape, jnp.float32))
+
+
+def _mha_cached_self(p_attn: Params, h: int, x: jnp.ndarray,
+                     cache_k: jnp.ndarray, cache_v: jnp.ndarray, pos):
+    """Single-position self-attention against the KV cache.
+
+    x: (B, 1, D) normed input; cache_k/v: (B, h, Lmax, d_k); pos: scalar index
+    of the current position.  Returns (out (B,1,D), new_k, new_v)."""
+    Q = split_heads(linear(p_attn["wq"], x), h)          # (B, h, 1, dk)
+    K1 = split_heads(linear(p_attn["wk"], x), h)
+    V1 = split_heads(linear(p_attn["wv"], x), h)
+    cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, K1, pos, axis=2)
+    cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, V1, pos, axis=2)
+    Lmax = cache_k.shape[2]
+    valid = (jnp.arange(Lmax) <= pos)[None, None, None, :]   # (1,1,1,Lmax)
+    attn = attention_weights(Q, cache_k, valid, 0.0, None)
+    out = linear(p_attn["wo"], merge_heads(
+        jnp.einsum("...qk,...kd->...qd", attn, cache_v)))
+    return out, cache_k, cache_v
+
+
+def _mha_cross_cached(p_attn: Params, h: int, x: jnp.ndarray, KV, mask):
+    K, V = KV
+    Q = split_heads(linear(p_attn["wq"], x), h)
+    if mask is not None:
+        mask = mask[..., None, :, :]
+    attn = attention_weights(Q, K, mask, 0.0, None)
+    return linear(p_attn["wo"], merge_heads(
+        jnp.einsum("...qk,...kd->...qd", attn, V)))
+
+
+def decode_step(params: Params, cfg: ModelConfig, ctx: DecodeCtx,
+                cache: DecodeCache, token: jnp.ndarray, pos) -> Tuple[jnp.ndarray, DecodeCache]:
+    """Advance one token.  token: (B,) int32 ids at absolute position `pos`
+    (0 = <sos>).  Returns (log-probs (B, V), updated cache).
+
+    Eval mode (no dropout) — matches generation (generate.py:26 model.eval)."""
+    from bist_tpu.models.layers import ffn  # local to avoid cycle noise
+
+    pe = positional_encoding_table(cfg.d_model, cfg.max_pos)
+    x = embed(params["embed"], token[:, None], cfg.d_model)    # (B, 1, D)
+    x = add_positional(pe, x, 0.0, None, offset=pos)
+    encoded_tgt = x
+    dec = params["decoder"]
+    slots = bist.mm_layer_cross_slots(cfg)
+    new_k, new_v = [], []
+    for n in range(cfg.nb_blocks):
+        lp = dec["mm_layers"][n]
+        normed = layer_norm(lp["self"]["norm"], x)
+        out, ck, cv = _mha_cached_self(lp["self"]["attn"], cfg.att_h, normed,
+                                       cache.k[n], cache.v[n], pos)
+        new_k.append(ck)
+        new_v.append(cv)
+        x = x + out
+        x = x + _mha_cross_cached(lp["his"]["attn"], cfg.att_h,
+                                  layer_norm(lp["his"]["norm"], x),
+                                  ctx.layer_kv[n]["his"], ctx.masks["his_mask"])
+        x = x + _mha_cross_cached(lp["query"]["attn"], cfg.att_h,
+                                  layer_norm(lp["query"]["norm"], x),
+                                  ctx.layer_kv[n]["query"], ctx.masks["query_mask"])
+        parallel_st = (cfg.nb_venc_blocks > 0 and cfg.enc_st_combine == "none"
+                       and cfg.dec_st_combine != "seq" and cfg.both_directions)
+        i = 0
+        while i < len(slots):
+            name, ft_key, mask_key = slots[i]
+            if parallel_st and name == "temporal":
+                t = _mha_cross_cached(lp["temporal"]["attn"], cfg.att_h,
+                                      layer_norm(lp["temporal"]["norm"], x),
+                                      ctx.layer_kv[n]["temporal"],
+                                      ctx.masks["query_mask"])
+                s = _mha_cross_cached(lp["spatial"]["attn"], cfg.att_h,
+                                      layer_norm(lp["spatial"]["norm"], x),
+                                      ctx.layer_kv[n]["spatial"],
+                                      ctx.masks["query_mask"])
+                x = (x + t) + (x + s)   # ref: in_x = sublayer_t(x) + sublayer_s(x)
+                i += 2
+                continue
+            x = x + _mha_cross_cached(lp[name]["attn"], cfg.att_h,
+                                      layer_norm(lp[name]["norm"], x),
+                                      ctx.layer_kv[n][name], ctx.masks[mask_key])
+            i += 1
+        x = x + ffn(lp["ff"]["ff"], layer_norm(lp["ff"]["norm"], x), 0.0, None)
+
+    decoded = layer_norm(dec["norm"], x)                      # (B, 1, D)
+    ft = dict(ctx.ft)
+    ft["decoded_text"] = decoded
+    ft["encoded_tgt"] = encoded_tgt
+    logp = apply_generator(params["gen"], cfg, params["embed"]["lut"], ft,
+                           ctx.tokens)                        # (B, 1, V)
+    return logp[:, 0], DecodeCache(k=jnp.stack(new_k), v=jnp.stack(new_v))

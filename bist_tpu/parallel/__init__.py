@@ -1,0 +1,3 @@
+from bist_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicate, batch_sharding, DataParallel,
+)

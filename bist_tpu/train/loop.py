@@ -1,0 +1,166 @@
+"""Jit-compiled data-parallel training step + epoch driver.
+
+Reference counterpart: train.py (epoch loop, run_epoch, CSV artifacts,
+best-checkpoint logic).  TPU-native differences:
+
+  * one jitted `train_step` holds the whole forward/backward/update; gradient
+    all-reduce across the data mesh is emitted by XLA (no DataParallel,
+    no NCCL — SURVEY.md §2.4);
+  * loss normalisation happens on the GLOBAL batch token counts, so the
+    sharded computation is bit-equivalent to the reference's single-process
+    batch semantics;
+  * checkpoints (orbax) carry params + optimizer state + step — the reference
+    saves only the module and cannot resume (train.py:156-177);
+  * CSV artifacts keep the reference's file names and column layout
+    (train.py:121-128,151-155) for drop-in comparability.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bist_tpu.config import ModelConfig, TrainConfig
+from bist_tpu.data.batching import Batch
+from bist_tpu.models.layers import RngGen
+from bist_tpu.models.model import forward_logprobs, init_model
+from bist_tpu.train.losses import compute_losses
+from bist_tpu.train.schedule import make_optimizer
+
+log = logging.getLogger(__name__)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(key: jax.Array, cfg: ModelConfig, tcfg: TrainConfig,
+                       ) -> Tuple[TrainState, optax.GradientTransformation]:
+    params = init_model(key, cfg)
+    tx = make_optimizer(cfg.d_model, tcfg.warmup_steps, tcfg.noam_factor,
+                        tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32)), tx
+
+
+def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
+                    tx: optax.GradientTransformation, donate: bool = True):
+    """Returns jitted (state, batch, rng_key) → (state, metrics)."""
+
+    def loss_fn(params, batch: Batch, key):
+        rngs = RngGen(key) if cfg.dropout > 0 else None
+        logp, ft = forward_logprobs(params, cfg, batch, rngs=rngs)
+        loss, metrics = compute_losses(logp, ft, params["embed"]["lut"], cfg,
+                                       batch, tcfg.smoothing)
+        return loss, metrics
+
+    def step_fn(state: TrainState, batch: Batch, key):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg: ModelConfig, tcfg: TrainConfig):
+    def step_fn(params, batch: Batch):
+        logp, ft = forward_logprobs(params, cfg, batch, rngs=None)
+        loss, metrics = compute_losses(logp, ft, params["embed"]["lut"], cfg,
+                                       batch, tcfg.smoothing)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics
+
+    return jax.jit(step_fn)
+
+
+class EpochStats:
+    """Accumulates the reference's run_epoch totals (train.py:21-52)."""
+
+    def __init__(self):
+        self.loss = 0.0
+        self.temporal_ae = 0.0
+        self.spatial_ae = 0.0
+        self.tokens = 0
+        self.qtokens = 0
+
+    def update(self, m: Dict[str, Any]):
+        self.loss += float(m["out"])
+        self.temporal_ae += float(m["temporal_ae"])
+        self.spatial_ae += float(m["spatial_ae"])
+        self.tokens += int(m["ntokens"])
+        self.qtokens += int(m["qntokens"])
+
+    def summary(self) -> Dict[str, float]:
+        t = max(self.tokens, 1)
+        q = max(self.qtokens, 1)
+        return {"out": self.loss / t,
+                "temporal_ae": self.temporal_ae / q,
+                "spatial_ae": self.spatial_ae / q}
+
+
+def run_epoch(loader, state_or_params, step_fn, epoch: int, *,
+              train: bool, rng_key=None, report_interval: int = 100,
+              train_log_path: Optional[str] = None, shard=None,
+              state_holder: Optional[list] = None) -> Dict[str, float]:
+    """One pass over the loader.  For train=True, state_holder is a 1-element
+    list holding TrainState (mutated in place so the caller sees updates)."""
+    stats = EpochStats()
+    for j, (batch, meta) in enumerate(loader):
+        if shard is not None:
+            batch = shard(batch)
+        if train:
+            state = state_holder[0]
+            key = jax.random.fold_in(rng_key, int(state.step))
+            state, metrics = step_fn(state, batch, key)
+            state_holder[0] = state
+        else:
+            metrics = step_fn(state_or_params, batch)
+        stats.update(metrics)
+        if train and (j + 1) % report_interval == 0:
+            nt = max(int(metrics["ntokens"]), 1)
+            qt = max(int(metrics["qntokens"]), 1)
+            line = (f"Epoch: {epoch + 1} Step: {j + 1} "
+                    f"Loss: {float(metrics['out']) / nt:f} "
+                    f"AETemporalLoss: {float(metrics['temporal_ae']) / qt:f} "
+                    f"AESpatialLoss: {float(metrics['spatial_ae']) / qt:f}")
+            print(line)
+            if train_log_path:
+                with open(train_log_path, "a") as f:
+                    f.write("{},{},{:e},{:e},{:e}\n".format(
+                        epoch + 1, j + 1,
+                        float(metrics["out"]) / nt,
+                        float(metrics["temporal_ae"]) / qt,
+                        float(metrics["spatial_ae"]) / qt))
+    return stats.summary()
+
+
+def init_csv_logs(model_prefix: str) -> Tuple[str, str]:
+    """Create <model>_train.csv / <model>_trace.csv with reference headers."""
+    trace_log_path = model_prefix + "_trace.csv"
+    train_log_path = model_prefix + "_train.csv"
+    with open(trace_log_path, "w") as f:
+        f.write("epoch,split,loss,ae_temporal_loss,ae_spatial_loss\n")
+    with open(train_log_path, "w") as f:
+        f.write("epoch,step,loss,ae_temporal_loss,ae_spatial_loss\n")
+    return train_log_path, trace_log_path
+
+
+def append_trace(trace_log_path: str, epoch: int, split: str,
+                 losses: Dict[str, float]) -> None:
+    with open(trace_log_path, "a") as f:
+        f.write("{},{},{:e},{:e},{:e}\n".format(
+            epoch + 1, split, losses["out"], losses["temporal_ae"],
+            losses["spatial_ae"]))

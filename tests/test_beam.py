@@ -1,0 +1,107 @@
+"""Beam-search parity: the jitted scan beam must match an independent
+step-by-step host reference implementing the documented scoring rules
+(decode.py:53-104 semantics: cumulative logp, completion bonus
+lp[eos]+penalty·(len+1) from min_len, unk always banned, eos banned unless
+dec_eos, top-beam expansion, nbest ranking)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bist_tpu.config import GenerateConfig, ModelConfig
+from bist_tpu.data.batching import Batch
+from bist_tpu.decode.beam import beam_search, greedy_decode
+from bist_tpu.models.model import (
+    decode_step, init_cache, init_model, precompute_decode_ctx,
+)
+from bist_tpu.vocab import EOS, PAD, SOS, UNK
+
+
+def tiny_cfg():
+    return ModelConfig(vocab_size=30, nb_blocks=2, nb_venc_blocks=2,
+                       nb_cenc_blocks=2, d_model=16, att_h=2, dropout=0.0,
+                       include_caption="summary", separate_caption=True,
+                       ft_sizes=(8,))
+
+
+def tiny_batch(rng, B=2):
+    def toks(L):
+        return rng.integers(4, 30, size=(B, L)).astype(np.int32)
+
+    fts = rng.standard_normal((B, 3, 4, 8)).astype(np.float32)
+    dummy_trg = np.full((B, 1), SOS, np.int32)
+    return Batch(query=toks(5), his=toks(7), trg=dummy_trg, trg_y=dummy_trg,
+                 cap=toks(4), fts=fts, audio_fts=None)
+
+
+def host_beam_reference(params, cfg, batch, gcfg, row):
+    """Independent beam search for one batch row, eager, list-based.
+
+    Built from the documented scoring rules; hypotheses are (tokens, score).
+    Uses the same cached decode_step as the compiled path for the raw
+    log-probs (the model itself is tested against the full forward
+    elsewhere), but all search logic is plain Python."""
+    one = Batch(*[None if x is None else x[row:row + 1] for x in batch])
+    ctx = precompute_decode_ctx(params, cfg, one)
+    step_jit = jax.jit(lambda cache, tok, pos: decode_step(
+        params, cfg, ctx, cache, tok, pos))
+
+    def logprobs(prefix):
+        cache = init_cache(cfg, 1, gcfg.maxlen + 1)
+        lp = None
+        for pos, t in enumerate(prefix):
+            lp, cache = step_jit(cache, jnp.asarray([t], jnp.int32),
+                                 jnp.asarray(pos))
+        return np.asarray(lp[0])
+
+    hyps = [([SOS], 0.0)]
+    completions = []
+    for l in range(gcfg.maxlen):
+        new_hyps = []
+        for prefix, score in hyps:
+            lp = logprobs(prefix) + score
+            if l >= gcfg.min_len:
+                completions.append(
+                    (prefix[1:], lp[EOS] + gcfg.penalty * (l + 1)))
+            banned = {UNK} if gcfg.dec_eos else {UNK, EOS}
+            for tok in np.argsort(lp)[::-1]:
+                if int(tok) in banned:
+                    continue
+                new_hyps.append((prefix + [int(tok)], float(lp[tok])))
+        new_hyps.sort(key=lambda h: -h[1])
+        hyps = new_hyps[: gcfg.beam]
+    completions.sort(key=lambda h: -h[1])
+    return completions[: gcfg.nbest]
+
+
+@pytest.mark.parametrize("dec_eos", [False, True])
+def test_beam_matches_host_reference(rng, dec_eos):
+    cfg = tiny_cfg()
+    gcfg = GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=4,
+                          dec_eos=dec_eos)
+    batch = tiny_batch(rng)
+    params = init_model(jax.random.PRNGKey(3), cfg)
+
+    result = beam_search(params, cfg, batch, gcfg)
+    for row in range(batch.query.shape[0]):
+        expected = host_beam_reference(params, cfg, batch, gcfg, row)
+        got_scores = np.asarray(result.scores[row])
+        got_tokens = np.asarray(result.tokens[row])
+        got_lens = np.asarray(result.lengths[row])
+        assert len(expected) >= 1
+        for n, (exp_toks, exp_score) in enumerate(expected):
+            assert got_lens[n] == len(exp_toks)
+            assert list(got_tokens[n, : got_lens[n]]) == exp_toks
+            # batched vs single-row fp32 fusion causes ~1e-3 drift
+            np.testing.assert_allclose(got_scores[n], exp_score, rtol=2e-3,
+                                       atol=2e-3)
+
+
+def test_greedy_decode_runs(rng):
+    cfg = tiny_cfg()
+    batch = tiny_batch(rng)
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    out = greedy_decode(params, cfg, batch, maxlen=6)
+    assert out.shape == (2, 6)
+    assert np.all(np.asarray(out) >= 0)

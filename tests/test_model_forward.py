@@ -1,0 +1,105 @@
+"""Shape/finiteness tests for the full model forward + incremental decode
+consistency (cached decode_step must match the full training forward)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bist_tpu.config import ModelConfig
+from bist_tpu.data.batching import Batch
+from bist_tpu.models.model import (
+    apply_model, build_masks, decode_step, forward_logprobs, init_cache,
+    init_model, precompute_decode_ctx,
+)
+from bist_tpu.vocab import PAD
+
+
+def tiny_cfg(**kw):
+    base = dict(vocab_size=50, nb_blocks=2, nb_venc_blocks=2, nb_cenc_blocks=2,
+                nb_aenc_blocks=0, d_model=16, att_h=2, dropout=0.1,
+                include_caption="summary", separate_caption=True,
+                ft_sizes=(24,), enc_st_combine="none", enc_vc_combine="dyn",
+                dec_st_combine="seq")
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def tiny_batch(rng, B=2, Lq=5, Lh=7, Lc=4, Lt=6, T=3, S=4, Dv=24, Da=12,
+               with_cap=True, with_fts=True, with_audio=False):
+    def toks(L):
+        x = rng.integers(4, 50, size=(B, L)).astype(np.int32)
+        x[:, -1] = PAD  # some padding
+        return x
+
+    fts = None
+    if with_fts:
+        fts = rng.standard_normal((B, T, S, Dv)).astype(np.float32)
+        fts[:, -1] = 0.0  # padded temporal step
+    audio = rng.standard_normal((B, T, Da)).astype(np.float32) if with_audio else None
+    return Batch(query=toks(Lq), his=toks(Lh), trg=toks(Lt), trg_y=toks(Lt),
+                 cap=toks(Lc) if with_cap else None, fts=fts, audio_fts=audio)
+
+
+CFG_VARIANTS = [
+    {},                                                   # default: none/dyn/seq
+    {"enc_st_combine": "sum"},
+    {"enc_st_combine": "dyn"},
+    {"enc_st_combine": "early_sum"},
+    {"enc_st_combine": "early_dyn"},
+    {"enc_vc_combine": "sum"},
+    {"enc_vc_combine": "none"},
+    {"dec_st_combine": "sum"},
+    {"t2s": False},
+    {"s2t": False},
+    {"nb_venc_blocks": 0, "ft_sizes": ()},                # no video
+    {"nb_cenc_blocks": 0, "enc_vc_combine": "none"},      # no caption layers
+    {"ptr_gen": False},
+    {"ptr_ft": "query"},
+    {"nb_aenc_blocks": 2, "ft_sizes": (24, 12)},          # with audio
+]
+
+
+@pytest.mark.parametrize("kw", CFG_VARIANTS)
+def test_forward_shapes(kw, rng):
+    cfg = tiny_cfg(**kw)
+    with_audio = cfg.nb_aenc_blocks > 0
+    batch = tiny_batch(rng, with_audio=with_audio,
+                       with_fts=cfg.nb_venc_blocks > 0)
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    logp, ft = forward_logprobs(params, cfg, batch, rngs=None)
+    assert logp.shape == (2, 6, 50)
+    assert np.all(np.isfinite(np.asarray(logp)))
+    # log-probs: logsumexp ≈ 0 for every position
+    lse = jax.nn.logsumexp(logp, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), 0.0, atol=5e-3)
+    assert ft["decoded_text"].shape == (2, 6, 16)
+
+
+@pytest.mark.parametrize("kw", [{}, {"enc_st_combine": "sum"},
+                                {"dec_st_combine": "sum"},
+                                {"nb_venc_blocks": 0, "ft_sizes": ()},
+                                {"ptr_gen": False}])
+def test_incremental_decode_matches_full_forward(kw, rng):
+    """decode_step over positions must reproduce the training-path forward
+    (eval mode) on the same prefix."""
+    cfg = tiny_cfg(**kw)
+    B, Lt = 2, 6
+    batch = tiny_batch(rng, B=B, Lt=Lt, with_fts=cfg.nb_venc_blocks > 0)
+    # use a fully valid target so causal positions match
+    trg = rng.integers(4, 50, size=(B, Lt)).astype(np.int32)
+    batch = batch._replace(trg=trg, trg_y=trg)
+    params = init_model(jax.random.PRNGKey(1), cfg)
+
+    full_logp, _ = forward_logprobs(params, cfg, batch, rngs=None)
+
+    ctx = precompute_decode_ctx(params, cfg, batch)
+    cache = init_cache(cfg, B, Lt)
+    step_logps = []
+    for pos in range(Lt):
+        logp, cache = decode_step(params, cfg, ctx, cache,
+                                  jnp.asarray(trg[:, pos]), pos)
+        step_logps.append(np.asarray(logp))
+    step_logps = np.stack(step_logps, axis=1)  # (B, Lt, V)
+    np.testing.assert_allclose(step_logps, np.asarray(full_logp),
+                               rtol=2e-4, atol=2e-5)
