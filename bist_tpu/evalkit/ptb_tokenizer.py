@@ -44,8 +44,8 @@ _BRACKET_MAP = {
 
 def _ptb_split(text: str) -> List[str]:
     t = " " + text + " "
-    # separate final periods (sentence end) but keep abbreviations' internal dots
-    t = re.sub(r"\.\.\.", " ... ", t)
+    # PTB normalises any run of 2+ dots to the ellipsis token "..."
+    t = re.sub(r"\.{2,}", " ... ", t)
     t = re.sub(r"([,;:@#$%&?!])", r" \1 ", t)
     # final period: a period before optional closing quotes/brackets at end or
     # before whitespace-end

@@ -1,0 +1,71 @@
+"""Metric-stack regression against the committed DSTC7 golden fixtures
+(reference dstc7avsd_eval/sample/*.{json,eval} — the reference repo's own
+regression oracle, SURVEY.md §4.2).
+
+Asserts: BLEU-1..4 / ROUGE-L / CIDEr equal the golden to 3 decimals at corpus
+level, BLEU-4 and ROUGE-L bit-exact per image; METEOR within the documented
+approximation band (no WordNet/paraphrase data in this environment)."""
+
+import ast
+import json
+import os
+import re
+
+import pytest
+
+REF = "/root/reference/dstc7avsd_eval"
+FIXTURES = ["baseline_i3d_rgb-i3d_flow", "baseline_i3d_rgb-i3d_flow-vggish"]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference eval fixtures not available")
+
+
+def load_golden(name):
+    corpus, per_image = {}, {}
+    for ln in open(f"{REF}/sample/{name}.eval"):
+        m = re.match(r"^(Bleu_[1-4]|METEOR|ROUGE_L|CIDEr): ([\d.]+)", ln)
+        if m and m.group(1) not in corpus:
+            corpus[m.group(1)] = float(m.group(2))
+        m = re.match(r"^(\d+) (\{.*\})$", ln)
+        if m:
+            per_image[int(m.group(1))] = ast.literal_eval(m.group(2))
+    return corpus, per_image
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_golden_regression(name):
+    from bist_tpu.evalkit.harness import (
+        StopwordFilter, evaluate_coco, get_hypotheses)
+
+    gold_corpus, gold_img = load_golden(name)
+    result = json.load(open(f"{REF}/sample/{name}.json"))
+    hyps = get_hypotheses(result, last_only=True,
+                          swfilter=StopwordFilter(f"{REF}/data/stopwords.txt"))
+    corpus, per_image = evaluate_coco(
+        hyps, f"{REF}/data/test_set4DSTC7-AVSD_multiref.json")
+
+    for metric in ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L", "CIDEr"]:
+        assert abs(corpus[metric] - gold_corpus[metric]) < 1.5e-3, (
+            metric, corpus[metric], gold_corpus[metric])
+    # METEOR approximation: exact+stem stages only → slightly below the jar
+    assert abs(corpus["METEOR"] - gold_corpus["METEOR"]) < 0.01
+
+    for img in per_image:
+        g = gold_img[img["image_id"]]
+        assert abs(img["Bleu_4"] - g["Bleu_4"]) < 1e-6
+        assert abs(img["ROUGE_L"] - g["ROUGE_L"]) < 1e-6
+        assert abs(img["CIDEr"] - g["CIDEr"]) < 0.03
+
+
+def test_eval_file_format(tmp_path):
+    """The .eval summary lines must awk-match the reference's extraction
+    (dstc7avsd_eval.sh:31-32)."""
+    from bist_tpu.evalkit.harness import write_eval_file
+
+    corpus = {"Bleu_1": 0.6, "Bleu_2": 0.5, "Bleu_3": 0.4, "Bleu_4": 0.3,
+              "METEOR": 0.2, "ROUGE_L": 0.45, "CIDEr": 0.7}
+    out = tmp_path / "x.eval"
+    write_eval_file(str(out), corpus, [])
+    lines = out.read_text().splitlines()
+    pat = re.compile(r"^(Bleu_[1-4]|METEOR|ROUGE_L|CIDEr): [\d.]+$")
+    assert len(lines) == 7 and all(pat.match(l) for l in lines)
