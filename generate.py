@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Response generation entry point — flag-compatible with the reference
+generate.py + configs/test_configs.py.
+
+Same contract: loads <model>.conf + checkpoint, iterates the test JSON in
+original dialog order, decodes each (undisclosed) turn, writes a result JSON
+preserving the input structure with answers replaced (generate.py:23-132),
+and logs QS/REF/HYP lines.
+
+TPU-native difference: turns are decoded in BATCHES through one compiled
+beam-search program with KV caching (--gen-batch-size, default 32) instead of
+the reference's batch-1 per-turn full-decoder re-runs — this is the ≥10×
+throughput component (SURVEY.md §3.2)."""
+
+import argparse
+import copy
+import json
+import logging
+import os
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="bist_tpu generation")
+    p.add_argument("--gpu", "-g", default=0, type=int, help="CLI parity no-op")
+    p.add_argument("--test-path", default="", type=str)
+    p.add_argument("--test-set", default="", type=str)
+    p.add_argument("--model-conf", default="", type=str)
+    p.add_argument("--model", "-m", default="", type=str)
+    p.add_argument("--maxlen", default=12, type=int)
+    p.add_argument("--dec-eos", default=0, type=int)
+    p.add_argument("--beam", default=3, type=int)
+    p.add_argument("--penalty", default=2.0, type=float)
+    p.add_argument("--nbest", default=5, type=int)
+    p.add_argument("--output", "-o", default="", type=str)
+    p.add_argument("--verbose", "-v", default=0, type=int)
+    p.add_argument("--decode-style", default="greedy", type=str)
+    p.add_argument("--undisclosed-only", default=0, type=int)
+    p.add_argument("--labeled-test", default=None, type=str)
+    p.add_argument("--num-workers", default=0, type=int)
+    # TPU additions
+    p.add_argument("--gen-batch-size", default=32, type=int)
+    p.add_argument("--device", default="", type=str, help="'cpu' forces CPU")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose >= 1 else logging.INFO,
+        format="%(asctime)s %(levelname)s: %(message)s")
+    for k in vars(args):
+        print(f"{k}={getattr(args, k)}")
+
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import numpy as np
+
+    from bist_tpu.config import GenerateConfig, load_conf
+    from bist_tpu.data.avsd import load_avsd
+    from bist_tpu.data.features import build_stores
+    from bist_tpu.data.loader import AVSDLoader
+    from bist_tpu.decode.beam import beam_search, extract_hyps, greedy_decode
+    from bist_tpu.models.model import init_model
+    from bist_tpu.train.checkpoint import load_checkpoint
+    from bist_tpu.vocab import EOS, ids2words, make_id2word
+
+    logging.info("Loading model params from %s", args.model)
+    conf_path = args.model_conf or (args.model + ".conf")
+    vocab, cfg, tcfg, extra = load_conf(conf_path)
+    id2word = make_id2word(vocab)
+    logging.info("#vocab = %d", len(vocab))
+
+    payload = load_checkpoint(args.model + "_best"
+                              if os.path.isdir(args.model + "_best")
+                              else args.model)
+    import jax.numpy as jnp
+    params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+
+    # Feature-type override at test time (reference generate.py:101-104):
+    # resnext_st (+ vggish_testset when the model was trained with vggish).
+    had_vggish = any("vggish" in str(s)
+                     for s in (extra.get("fea_type") or [])) or cfg.has_audio
+    fea_type = ["resnext_st"] + (["vggish_testset"] if had_vggish else [])
+    if not cfg.has_video:
+        fea_type = None
+
+    logging.info("Loading test data from %s", args.test_set)
+    test_data = load_avsd(args.test_set, vocab,
+                          include_caption=cfg.include_caption,
+                          separate_caption=cfg.separate_caption,
+                          max_history_length=tcfg.max_history_length,
+                          merge_source=tcfg.merge_source,
+                          undisclosed_only=bool(args.undisclosed_only))
+    vis_stores, aud_stores = build_stores(fea_type, args.test_path,
+                                          test_data.vid_set, skip=tcfg.skip)
+    loader = AVSDLoader(test_data, visual_stores=vis_stores,
+                        audio_stores=aud_stores,
+                        batch_size=args.gen_batch_size, shuffle=False,
+                        cut_a=False, len_buckets=tcfg.len_buckets,
+                        time_buckets=tcfg.time_buckets)
+    logging.info("#test sample = %d  #test batch = %d",
+                 len(test_data.examples), len(loader))
+
+    labeled_test = None
+    if args.undisclosed_only and args.labeled_test:
+        with open(args.labeled_test) as f:
+            labeled_test = json.load(f)
+
+    gcfg = GenerateConfig(maxlen=args.maxlen, beam=args.beam,
+                          penalty=args.penalty, nbest=args.nbest,
+                          dec_eos=bool(args.dec_eos),
+                          undisclosed_only=bool(args.undisclosed_only),
+                          decode_style=args.decode_style,
+                          gen_batch_size=args.gen_batch_size)
+
+    logging.info("----------------------- generate --------------------------")
+    start_time = time.time()
+    answers = {}     # qa_id -> (answer string, nbest log lines)
+    n_done = 0
+    beam_jit = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
+    greedy_jit = jax.jit(lambda p, b: greedy_decode(p, cfg, b, gcfg.maxlen))
+    for batch, meta in loader:
+        if gcfg.decode_style == "beam_search":
+            result = jax.device_get(beam_jit(params, batch))
+            from bist_tpu.decode.beam import BeamResult
+            result = BeamResult(*result)
+            for row in range(meta.real_count):
+                hyps = extract_hyps(result, id2word, row, gcfg.nbest)
+                best = " ".join(hyps[0][0]) if hyps else ""
+                answers[meta.qa_ids[row]] = (best, hyps)
+        else:
+            out = np.asarray(greedy_jit(params, batch))
+            for row in range(meta.real_count):
+                words = ids2words(out[row], id2word)
+                answers[meta.qa_ids[row]] = (" ".join(words), None)
+        n_done += meta.real_count
+        logging.info("decoded %d/%d turns (%.1f turns/s)", n_done,
+                     len(test_data.examples),
+                     n_done / max(time.time() - start_time, 1e-9))
+
+    # Reassemble the result JSON in original order (generate.py:30-71).
+    result_dialogs = []
+    qa_id = 0
+    for idx, dialog in enumerate(test_data.original["dialogs"]):
+        vid = dialog["image_id"]
+        if args.undisclosed_only:
+            out_dialog = dialog["dialog"][-1:]
+            ref_dialog = None
+            if labeled_test is not None:
+                ref = labeled_test["dialogs"][idx]
+                assert ref["image_id"] == vid
+                ref_dialog = ref["dialog"][-1:]
+        else:
+            out_dialog = dialog["dialog"]
+            ref_dialog = None
+        pred_dialog = {"image_id": vid, "dialog": copy.deepcopy(out_dialog)}
+        result_dialogs.append(pred_dialog)
+        for t, qa in enumerate(out_dialog):
+            if qa_id not in answers:
+                qa_id += 1
+                continue
+            best, hyps = answers[qa_id]
+            logging.info("%d %s_%d", qa_id, vid, t)
+            logging.info("QS: %s", qa["question"])
+            logging.info("REF: %s", ref_dialog[t]["answer"] if ref_dialog
+                         else qa["answer"])
+            if hyps:
+                for n, (words, score) in enumerate(hyps):
+                    logging.info("HYP[%d]: %s  ( %f )", n + 1,
+                                 " ".join(words), score)
+            else:
+                logging.info("HYP: %s", best)
+            pred_dialog["dialog"][t]["answer"] = best
+            qa_id += 1
+            logging.info("-----------------------")
+
+    wall = time.time() - start_time
+    logging.info("----------------")
+    logging.info("wall time = %f  (%.2f responses/sec)", wall,
+                 len(test_data.examples) / max(wall, 1e-9))
+    result = {"dialogs": result_dialogs}
+    if args.output:
+        logging.info("writing results to %s", args.output)
+        with open(args.output, "w") as f:
+            json.dump(result, f, indent=4)
+    logging.info("done")
+    return result
+
+
+if __name__ == "__main__":
+    main()

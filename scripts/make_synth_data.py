@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Synthesize a tiny AVSD-format dataset + features for smoke tests.
+
+Role-equivalent to the reference's test_mode fixture files
+(train_test.json / valid_test.json / test_test.json, scripts/exec.sh:60-69),
+which ship with the reference's external data download.  Generates:
+  <out>/train_test.json, valid_test.json, test_test.json
+  <out>/resnext_st/<ImageID>.npy       (T, 16, D) spatio-temporal grids
+  <out>/vggish/<ImageID>.npy           (T, 128) audio features (optional)
+
+Usage: python scripts/make_synth_data.py <out_dir> [--n-dialogs 8]
+       [--ft-dim 256] [--audio] [--seed 0]
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+WORDS = ("a the man woman is are sitting standing walking holding cup dog cat "
+         "couch table room video he she they what doing where when how many "
+         "yes no there one two three people watching tv drinking eating "
+         "opens door closes picks up puts down camera towards away looks").split()
+
+
+def sent(rng, lo=4, hi=12):
+    return " ".join(rng.choice(WORDS, rng.integers(lo, hi)))
+
+
+def make_split(rng, n_dialogs, n_turns, vid_prefix, undisclosed=False):
+    dialogs = []
+    for d in range(n_dialogs):
+        turns = []
+        for t in range(n_turns):
+            ans = "__UNDISCLOSED__" if (undisclosed and t == n_turns - 1) \
+                else sent(rng, 3, 9)
+            turns.append({"question": sent(rng, 4, 10), "answer": ans})
+        dialogs.append({
+            "image_id": f"{vid_prefix}{d:04d}",
+            "caption": sent(rng, 8, 16),
+            "summary": sent(rng, 6, 12),
+            "dialog": turns,
+        })
+    return {"dialogs": dialogs, "type": "synthetic", "version": "1.0"}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("out_dir")
+    p.add_argument("--n-dialogs", type=int, default=8)
+    p.add_argument("--n-turns", type=int, default=3)
+    p.add_argument("--ft-dim", type=int, default=256)
+    p.add_argument("--spatial", type=int, default=16)
+    p.add_argument("--audio", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    os.makedirs(args.out_dir, exist_ok=True)
+    vids = []
+    for name, undisc in (("train_test", False), ("valid_test", False),
+                         ("test_test", False)):
+        split = make_split(rng, args.n_dialogs, args.n_turns, "SYN",
+                           undisclosed=undisc)
+        with open(os.path.join(args.out_dir, name + ".json"), "w") as f:
+            json.dump(split, f, indent=1)
+        vids = [d["image_id"] for d in split["dialogs"]]
+
+    ftdir = os.path.join(args.out_dir, "resnext_st")
+    os.makedirs(ftdir, exist_ok=True)
+    for vid in vids:
+        T = int(rng.integers(4, 12))
+        np.save(os.path.join(ftdir, vid + ".npy"),
+                rng.standard_normal((T, args.spatial, args.ft_dim))
+                .astype(np.float32))
+    if args.audio:
+        adir = os.path.join(args.out_dir, "vggish")
+        os.makedirs(adir, exist_ok=True)
+        for vid in vids:
+            T = int(rng.integers(4, 12))
+            np.save(os.path.join(adir, vid + ".npy"),
+                    rng.standard_normal((T, 128)).astype(np.float32))
+    print(f"wrote synthetic AVSD data to {args.out_dir} ({len(vids)} videos)")
+
+
+if __name__ == "__main__":
+    main()

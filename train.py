@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""Training entry point — drop-in flag-compatible with the reference train.py
+(reference: train.py + configs/train_configs.py:7-57).
+
+Same artifacts: <model>.conf (vocab+configs), <model>_params.txt,
+<model>_train.csv / <model>_trace.csv (same columns), best checkpoint at
+<model>_best (orbax directory instead of a pickled torch module) — plus true
+resume (--resume), which the reference lacks (SURVEY.md §5).
+
+TPU-native: jitted data-parallel train step over a jax.sharding.Mesh
+(replaces nn.DataParallel, reference train.py:96-99)."""
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="bist_tpu training")
+    # Data (reference flag names)
+    p.add_argument("--gpu", "-g", default=0, type=int, help="unused; kept for CLI parity")
+    p.add_argument("--fea-type", nargs="+", type=str, default=None,
+                   help="feature types, e.g. resnext_st vggish; 'none' = text-only")
+    p.add_argument("--train-path", default="", type=str,
+                   help="feature path template <FeaType>/<ImageID>.npy")
+    p.add_argument("--train-set", default="", type=str)
+    p.add_argument("--valid-path", default="", type=str)
+    p.add_argument("--valid-set", default="", type=str)
+    p.add_argument("--test-set", default="", type=str)
+    p.add_argument("--include-caption", default="none", type=str)
+    p.add_argument("--separate-caption", default=1, type=int)
+    p.add_argument("--cut-a", default=1, type=int)
+    p.add_argument("--merge-source", default=0, type=int)
+    p.add_argument("--model", default=None, type=str)
+    p.add_argument("--cutoff", default=5, type=int)
+    p.add_argument("--skip", default=1, type=int)
+    p.add_argument("--num-workers", default=0, type=int)
+    p.add_argument("--device", default="", type=str,
+                   help="'' = default platform (TPU); 'cpu' forces CPU")
+    # Model
+    p.add_argument("--nb-blocks", default=6, type=int)
+    p.add_argument("--nb-venc-blocks", default=0, type=int)
+    p.add_argument("--nb-cenc-blocks", default=0, type=int)
+    p.add_argument("--nb-aenc-blocks", default=0, type=int)
+    p.add_argument("--d-model", default=512, type=int)
+    p.add_argument("--d-ff", default=2048, type=int,
+                   help="parsed for parity; d_ff is always d_model*4 (mtn.py:70)")
+    p.add_argument("--att-h", default=8, type=int)
+    p.add_argument("--dropout", default=0.1, type=float)
+    p.add_argument("--ptr-gen", default=1, type=int)
+    p.add_argument("--ptr-ft", default="query,cap", type=str)
+    p.add_argument("--mask-unk", default=1, type=int)
+    p.add_argument("--vid-pos", default=0, type=int,
+                   help="parsed for parity; never wired in the reference (mtn.py:108)")
+    p.add_argument("--dec-st-combine", default="seq", type=str)
+    p.add_argument("--enc-st-combine", default="none", type=str)
+    p.add_argument("--enc-vc-combine", default="dyn", type=str)
+    p.add_argument("--vid-enc-mode", default=22, type=int, help="parity no-op")
+    p.add_argument("--auto-encoder", default=1, type=int)
+    p.add_argument("--t2s", default=1, type=int)
+    p.add_argument("--s2t", default=1, type=int)
+    # Training
+    p.add_argument("--num-epochs", "-e", default=15, type=int)
+    p.add_argument("--rand-seed", "-s", default=1, type=int)
+    p.add_argument("--batch-size", "-b", default=32, type=int)
+    p.add_argument("--max-length", default=256, type=int)
+    p.add_argument("--max-history-length", default=-1, type=int)
+    p.add_argument("--report-interval", default=100, type=int)
+    p.add_argument("--warmup-steps", default=4000, type=int)
+    p.add_argument("--save-all", default=0, type=int)
+    p.add_argument("--verbose", "-v", default=0, type=int)
+    # TPU additions
+    p.add_argument("--resume", default="", type=str,
+                   help="checkpoint dir to resume from (params+opt state+step)")
+    p.add_argument("--num-devices", default=0, type=int,
+                   help="limit the data-parallel mesh (0 = all devices)")
+    p.add_argument("--bf16", default=0, type=int, help="bfloat16 activations")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose >= 1 else logging.INFO,
+        format="%(asctime)s %(levelname)s: %(message)s")
+    for k in vars(args):
+        print(f"{k}={getattr(args, k)}")
+
+    if args.device == "cpu":
+        os.environ.setdefault("XLA_FLAGS", "")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from bist_tpu.config import (GenerateConfig, ModelConfig, TrainConfig,
+                                 save_conf)
+    from bist_tpu.data.avsd import load_avsd
+    from bist_tpu.data.features import build_stores, feature_shape
+    from bist_tpu.data.loader import AVSDLoader
+    from bist_tpu.parallel.mesh import DataParallel
+    from bist_tpu.train.checkpoint import restore_train_state, save_checkpoint
+    from bist_tpu.train.loop import (TrainState, append_trace,
+                                     create_train_state, init_csv_logs,
+                                     make_eval_step, make_train_step,
+                                     run_epoch)
+    from bist_tpu.vocab import get_vocabulary
+
+    np.random.seed(args.rand_seed)
+
+    logging.info("Extracting words from %s", args.train_set)
+    vocab = get_vocabulary(args.train_set, cutoff=args.cutoff,
+                           include_caption=args.include_caption)
+    logging.info("#vocab = %d", len(vocab))
+
+    logging.info("Loading training data from %s", args.train_set)
+    train_data = load_avsd(args.train_set, vocab,
+                           include_caption=args.include_caption,
+                           separate_caption=bool(args.separate_caption),
+                           max_history_length=args.max_history_length,
+                           merge_source=bool(args.merge_source))
+    logging.info("Loading validation data from %s", args.valid_set)
+    valid_data = load_avsd(args.valid_set, vocab,
+                           include_caption=args.include_caption,
+                           separate_caption=bool(args.separate_caption),
+                           max_history_length=args.max_history_length,
+                           merge_source=bool(args.merge_source))
+
+    vis_stores, aud_stores = build_stores(args.fea_type, args.train_path,
+                                          train_data.vid_set, skip=args.skip)
+    for s in vis_stores + aud_stores:
+        s.register(valid_data.vid_set)
+    ft_sizes = tuple(feature_shape(vis_stores) + feature_shape(aud_stores))
+    logging.info("Detected feature dims: %s", list(ft_sizes))
+
+    cfg = ModelConfig(
+        vocab_size=len(vocab), nb_blocks=args.nb_blocks,
+        nb_venc_blocks=args.nb_venc_blocks, nb_cenc_blocks=args.nb_cenc_blocks,
+        nb_aenc_blocks=args.nb_aenc_blocks, d_model=args.d_model,
+        att_h=args.att_h, dropout=args.dropout, ptr_gen=bool(args.ptr_gen),
+        ptr_ft=args.ptr_ft, mask_unk=bool(args.mask_unk),
+        dec_st_combine=args.dec_st_combine, enc_st_combine=args.enc_st_combine,
+        enc_vc_combine=args.enc_vc_combine, auto_encoder=bool(args.auto_encoder),
+        t2s=bool(args.t2s), s2t=bool(args.s2t),
+        include_caption=args.include_caption,
+        separate_caption=bool(args.separate_caption), ft_sizes=ft_sizes,
+        dtype="bfloat16" if args.bf16 else "float32")
+    tcfg = TrainConfig(
+        num_epochs=args.num_epochs, rand_seed=args.rand_seed,
+        batch_size=args.batch_size, max_length=args.max_length,
+        max_history_length=args.max_history_length,
+        report_interval=args.report_interval, warmup_steps=args.warmup_steps,
+        save_all=bool(args.save_all), cutoff=args.cutoff,
+        cut_a=bool(args.cut_a), merge_source=bool(args.merge_source),
+        skip=args.skip, num_devices=args.num_devices)
+
+    dp = DataParallel(num_devices=args.num_devices)
+    logging.info("data-parallel mesh: %d device(s): %s", dp.n,
+                 dp.mesh.devices.ravel()[:4])
+
+    mk_loader = lambda data, shuffle, cut_a: AVSDLoader(
+        data, visual_stores=vis_stores, audio_stores=aud_stores,
+        batch_size=args.batch_size, shuffle=shuffle, cut_a=cut_a,
+        seed=args.rand_seed, len_buckets=tcfg.len_buckets,
+        time_buckets=tcfg.time_buckets, pad_batch_multiple=dp.n)
+    train_loader = mk_loader(train_data, True, bool(args.cut_a))
+    valid_loader = mk_loader(valid_data, False, False)
+    logging.info("#train sample = %d  #train batch = %d",
+                 len(train_data.examples), len(train_loader))
+    logging.info("#validation sample = %d  #validation batch = %d",
+                 len(valid_data.examples), len(valid_loader))
+
+    state, tx = create_train_state(jax.random.PRNGKey(args.rand_seed), cfg, tcfg)
+    start_epoch = 0
+    min_valid_loss = 1.0e10
+    if args.resume:
+        state, meta = restore_train_state(args.resume, TrainState, state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        min_valid_loss = float(meta.get("best_valid_loss", 1.0e10))
+        logging.info("resumed from %s at step %d epoch %d", args.resume,
+                     int(state.step), start_epoch)
+    state = TrainState(dp.put_replicated(state.params),
+                       dp.put_replicated(state.opt_state), state.step)
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.model)), exist_ok=True)
+    save_conf(args.model + ".conf", vocab, cfg, tcfg,
+              extra={"fea_type": args.fea_type})
+    with open(args.model + "_params.txt", "w") as f:
+        for k in vars(args):
+            f.write(f"{k}={getattr(args, k)}\n")
+
+    train_step = make_train_step(cfg, tcfg, tx)
+    eval_step = make_eval_step(cfg, tcfg)
+    train_log, trace_log = init_csv_logs(args.model)
+    logging.info("Saving training results to %s", train_log)
+
+    logging.info("----------------")
+    logging.info("Start training")
+    logging.info("----------------")
+    bestmodel_num = 0
+    holder = [state]
+    data_key = jax.random.PRNGKey(args.rand_seed + 777)
+    for epoch in range(start_epoch, args.num_epochs):
+        t0 = time.time()
+        train_losses = run_epoch(train_loader, None, train_step, epoch,
+                                 train=True, rng_key=data_key,
+                                 report_interval=args.report_interval,
+                                 train_log_path=train_log, shard=dp.shard,
+                                 state_holder=holder)
+        logging.info(
+            "epoch: %d train loss: %s aeTemporalLoss %s aeSpatialLoss %s "
+            "(%.1fs)", epoch + 1, train_losses["out"],
+            train_losses["temporal_ae"], train_losses["spatial_ae"],
+            time.time() - t0)
+        logging.info("-------validation--------")
+        valid_losses = run_epoch(valid_loader, holder[0].params, eval_step,
+                                 epoch, train=False, shard=dp.shard)
+        logging.info("epoch: %d valid loss: %s aeTemporalLoss %s aeSpatialLoss %s",
+                     epoch + 1, valid_losses["out"],
+                     valid_losses["temporal_ae"], valid_losses["spatial_ae"])
+        append_trace(trace_log, epoch, "train", train_losses)
+        append_trace(trace_log, epoch, "val", valid_losses)
+
+        valid_loss = (valid_losses["out"] + valid_losses["temporal_ae"]
+                      + valid_losses["spatial_ae"])
+        if args.save_all:
+            save_checkpoint(f"{args.model}_{epoch + 1}", holder[0],
+                            epoch=epoch, best_valid_loss=min_valid_loss)
+        if min_valid_loss > valid_loss:
+            bestmodel_num = epoch + 1
+            logging.info("validation loss reduced %.4f -> %.4f",
+                         min_valid_loss, valid_loss)
+            min_valid_loss = valid_loss
+            save_checkpoint(args.model + "_best", holder[0], epoch=epoch,
+                            best_valid_loss=min_valid_loss)
+            logging.info("writing model params to %s_best", args.model)
+        logging.info("----------------")
+    logging.info("the best model is epoch %d.", bestmodel_num)
+
+
+if __name__ == "__main__":
+    main()
