@@ -1,0 +1,285 @@
+"""ResNeXt-101 3D CNN feature extractor in JAX/XLA.
+
+Reference: video-classification-3d-cnn-pytorch/models/resnext.py (kenshohara
+Kinetics ResNeXt), the backbone BiST uses for spatio-temporal features
+(SURVEY.md §2.3).  Architecture: conv3d stem 7³ stride (1,2,2) → BN/ReLU →
+maxpool3d 3³ stride 2 → 4 stages of grouped-conv bottlenecks (cardinality 32,
+expansion 2, block counts [3, 4, 23, 3]) (resnext.py:71-122).  On 16-frame
+112×112 clips the stage-4 output is (1, 4, 4, 2048); `spatio_temporal` mode
+returns that pre-avgpool grid (resnext.py:135-137), which the data pipeline
+consumes as (T_clips, S=16, D=2048) — channels LAST, the layout the published
+features use (SURVEY.md §2.3 layout caveat; the in-repo reference main.py:73
+dumps the untransposed grid, which its own loader cannot consume).
+
+TPU-first design:
+  * NDHWC layout + DHWIO kernels — XLA's native conv3d tiling for the MXU;
+  * grouped convs via feature_group_count=32;
+  * inference-only: BatchNorm folded into per-channel scale/bias at load time
+    (exact for frozen eval-mode BN);
+  * a torch-checkpoint converter (load_torch_resnext) maps the pretrained
+    Kinetics weights (reference main.py:33-35).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+BLOCK_COUNTS = (3, 4, 23, 3)       # ResNeXt-101
+CARDINALITY = 32
+PLANES = (128, 256, 512, 1024)     # mid widths per stage (resnext.py:175)
+EXPANSION = 2                      # out = planes * 2
+STAGE_STRIDES = (1, 2, 2, 2)
+BN_EPS = 1e-5
+
+# Kinetics preprocessing (reference classify.py:12-15, mean.py:1-2):
+# Scale(112) → CenterCrop(112) → Normalize(mean, std=1) on 0-255 RGB.
+KINETICS_MEAN = (114.7748, 107.7354, 99.4750)
+SAMPLE_SIZE = 112
+SAMPLE_DURATION = 16
+
+
+# ---------------------------------------------------------------------------
+# Param init (random — for tests; real use loads the torch checkpoint)
+
+
+def _conv_init(key, kshape):
+    fan_in = int(np.prod(kshape[:-1]))
+    std = math.sqrt(2.0 / fan_in)
+    return jax.random.normal(key, kshape, jnp.float32) * std
+
+
+def _bn_identity(c):
+    return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+
+
+def init_resnext101(key: jax.Array, in_ch: int = 3) -> Params:
+    keys = jax.random.split(key, 128)
+    ki = iter(range(128))
+    p: Params = {
+        "stem": {"conv": _conv_init(keys[next(ki)], (7, 7, 7, in_ch, 64)),
+                 "bn": _bn_identity(64)},
+        "stages": [],
+    }
+    c_in = 64
+    for s, (n_blocks, planes, stride) in enumerate(
+            zip(BLOCK_COUNTS, PLANES, STAGE_STRIDES)):
+        stage: List[Params] = []
+        c_out = planes * EXPANSION
+        for b in range(n_blocks):
+            blk: Params = {
+                "conv1": _conv_init(keys[next(ki)], (1, 1, 1, c_in, planes)),
+                "bn1": _bn_identity(planes),
+                "conv2": _conv_init(keys[next(ki)],
+                                    (3, 3, 3, planes // CARDINALITY, planes)),
+                "bn2": _bn_identity(planes),
+                "conv3": _conv_init(keys[next(ki)], (1, 1, 1, planes, c_out)),
+                "bn3": _bn_identity(c_out),
+            }
+            if b == 0 and (c_in != c_out or stride != 1):
+                blk["down_conv"] = _conv_init(keys[next(ki)],
+                                              (1, 1, 1, c_in, c_out))
+                blk["down_bn"] = _bn_identity(c_out)
+            stage.append(blk)
+            c_in = c_out
+        p["stages"].append(stage)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Apply
+
+
+def _conv3d(x, w, stride=(1, 1, 1), padding="SAME", groups=1):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=stride, padding=padding,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=groups)
+
+
+def _bn(p, x):
+    return x * p["scale"] + p["bias"]
+
+
+def _maxpool3d(x, window=(3, 3, 3), stride=(2, 2, 2)):
+    pads = [(0, 0)] + [(w // 2, w // 2) for w in window] + [(0, 0)]
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1,) + window + (1,),
+        (1,) + stride + (1,), pads)
+
+
+def _block(p: Params, x, stride):
+    out = jax.nn.relu(_bn(p["bn1"], _conv3d(x, p["conv1"])))
+    out = jax.nn.relu(_bn(p["bn2"], _conv3d(out, p["conv2"],
+                                            stride=(stride,) * 3,
+                                            groups=CARDINALITY)))
+    out = _bn(p["bn3"], _conv3d(out, p["conv3"]))
+    if "down_conv" in p:
+        x = _bn(p["down_bn"], _conv3d(x, p["down_conv"],
+                                      stride=(stride,) * 3))
+    return jax.nn.relu(out + x)
+
+
+def resnext101_apply(params: Params, clips: jnp.ndarray,
+                     mode: str = "spatio_temporal") -> jnp.ndarray:
+    """clips: (N, T, H, W, 3) normalised frames (0-255 minus KINETICS_MEAN).
+
+    mode:
+      'spatio_temporal' → (N, S, D) per-clip grid, S = h'·w' (= 16 for
+         112×112 inputs), D = 2048 — channels last (§2.3 layout caveat);
+      'temporal_only'   → (N, D) post-avgpool embeddings (resnext.py:139-142);
+      'features'        → (N, D) same as temporal_only (mode='feature' of
+         the reference extractor with last_fc dropped).
+    """
+    x = clips
+    x = jax.nn.relu(_bn(params["stem"]["bn"],
+                        _conv3d(x, params["stem"]["conv"],
+                                stride=(1, 2, 2))))
+    x = _maxpool3d(x)
+    for s, stage in enumerate(params["stages"]):
+        for b, blk in enumerate(stage):
+            x = _block(blk, x, STAGE_STRIDES[s] if b == 0 else 1)
+    # x: (N, t', h', w', 2048)
+    if mode == "spatio_temporal":
+        # average any residual temporal extent (t'=1 for 16-frame clips),
+        # then flatten the spatial grid → (N, S, D)
+        x = jnp.mean(x, axis=1)
+        N, h, w, c = x.shape
+        return x.reshape(N, h * w, c)
+    x = jnp.mean(x, axis=(1, 2, 3))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint conversion
+
+
+def _fold_bn(sd, prefix):
+    gamma = sd[prefix + ".weight"].numpy()
+    beta = sd[prefix + ".bias"].numpy()
+    mean = sd[prefix + ".running_mean"].numpy()
+    var = sd[prefix + ".running_var"].numpy()
+    scale = gamma / np.sqrt(var + BN_EPS)
+    return {"scale": jnp.asarray(scale),
+            "bias": jnp.asarray(beta - mean * scale)}
+
+
+def _conv_w(sd, name):
+    w = sd[name + ".weight"].numpy()          # (out, in/g, kD, kH, kW)
+    return jnp.asarray(np.transpose(w, (2, 3, 4, 1, 0)))  # DHWIO
+
+
+def load_torch_resnext(ckpt_path: str) -> Params:
+    """Convert the pretrained Kinetics ResNeXt-101 checkpoint
+    (reference main.py:33-35 torch.load) to our folded-BN pytree."""
+    import torch
+
+    blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = blob.get("state_dict", blob)
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+
+    p: Params = {"stem": {"conv": _conv_w(sd, "conv1"),
+                          "bn": _fold_bn(sd, "bn1")}, "stages": []}
+    c_in = 64
+    for s, (n_blocks, planes, stride) in enumerate(
+            zip(BLOCK_COUNTS, PLANES, STAGE_STRIDES)):
+        stage = []
+        c_out = planes * EXPANSION
+        for b in range(n_blocks):
+            pre = f"layer{s + 1}.{b}"
+            blk = {
+                "conv1": _conv_w(sd, pre + ".conv1"),
+                "bn1": _fold_bn(sd, pre + ".bn1"),
+                "conv2": _conv_w(sd, pre + ".conv2"),
+                "bn2": _fold_bn(sd, pre + ".bn2"),
+                "conv3": _conv_w(sd, pre + ".conv3"),
+                "bn3": _fold_bn(sd, pre + ".bn3"),
+            }
+            if f"{pre}.downsample.0.weight" in sd:
+                blk["down_conv"] = _conv_w(sd, pre + ".downsample.0")
+                blk["down_bn"] = _fold_bn(sd, pre + ".downsample.1")
+            stage.append(blk)
+            c_in = c_out
+        p["stages"].append(stage)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Clip pipeline (reference dataset.py:82-111, classify.py:12-20,
+# temporal_transforms.py:5-17)
+
+
+def make_clip_windows(n_frames: int, sample_duration: int = SAMPLE_DURATION,
+                      stride: int = 4) -> List[List[int]]:
+    """Sliding 16-frame windows with `stride`; short windows loop-padded
+    (frame indices are 0-based; reference uses 1-based jpg numbering)."""
+    if n_frames <= 0:
+        return []
+    windows = []
+    for start in range(0, max(n_frames - 1, 1), stride):
+        idx = list(range(start, min(start + sample_duration, n_frames)))
+        for i in idx:                     # LoopPadding: repeat from window start
+            if len(idx) >= sample_duration:
+                break
+            idx.append(i)
+        windows.append(idx[:sample_duration])
+    return windows
+
+
+def preprocess_frames(frames: np.ndarray) -> np.ndarray:
+    """(T, H, W, 3) uint8 RGB → scaled/cropped/normalised float32.
+
+    Scale shorter side to 112 (bilinear), centre-crop 112², subtract the
+    Kinetics channel means (std = 1)."""
+    from PIL import Image
+
+    out = np.empty((frames.shape[0], SAMPLE_SIZE, SAMPLE_SIZE, 3), np.float32)
+    for i, f in enumerate(frames):
+        img = Image.fromarray(f)
+        w, h = img.size
+        if w < h:
+            ow = SAMPLE_SIZE
+            oh = int(round(SAMPLE_SIZE * h / w))
+        else:
+            oh = SAMPLE_SIZE
+            ow = int(round(SAMPLE_SIZE * w / h))
+        img = img.resize((ow, oh), Image.BILINEAR)
+        left = (ow - SAMPLE_SIZE) // 2
+        top = (oh - SAMPLE_SIZE) // 2
+        img = img.crop((left, top, left + SAMPLE_SIZE, top + SAMPLE_SIZE))
+        out[i] = np.asarray(img, np.float32)
+    out -= np.asarray(KINETICS_MEAN, np.float32)
+    return out
+
+
+def extract_video_features(params: Params, frames: np.ndarray,
+                           stride: int = 4, batch_size: int = 32,
+                           mode: str = "spatio_temporal",
+                           apply_fn=None) -> np.ndarray:
+    """frames: (T, H, W, 3) uint8 → (n_clips, 16, 2048) features
+    (or (n_clips, 2048) for temporal_only)."""
+    proc = preprocess_frames(frames)
+    windows = make_clip_windows(len(proc), stride=stride)
+    if not windows:
+        raise ValueError("no frames")
+    clips = np.stack([proc[w] for w in windows])          # (N, 16, 112, 112, 3)
+    if apply_fn is None:
+        apply_fn = jax.jit(lambda p, c: resnext101_apply(p, c, mode=mode))
+    outs = []
+    pad_to = batch_size
+    for s in range(0, len(clips), batch_size):
+        chunk = clips[s:s + batch_size]
+        real = len(chunk)
+        if real < pad_to:   # keep a single compiled shape
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad_to - real,) + chunk.shape[1:],
+                                 np.float32)])
+        out = np.asarray(apply_fn(params, jnp.asarray(chunk)))[:real]
+        outs.append(out)
+    return np.concatenate(outs, axis=0)

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Feature-extraction entry point — role-equivalent to the reference
+video-classification-3d-cnn-pytorch/main.py (run offline before training;
+SURVEY.md §2.3/§3.4).
+
+Per video: decode frames (ffmpeg subprocess when available, else a directory
+of jpgs or an .npy frame stack), build 16-frame clips with --stride, run the
+JAX ResNeXt-101 3D backbone, and dump one `<output>/<vid>.npy` per video in
+the (T_clips, 16, 2048) channels-last layout the data pipeline consumes
+(the §2.3 layout caveat — the reference main.py:73 dumps the untransposed
+grid its own loader cannot read; we emit the consumable layout directly).
+
+Job sharding: --start_idx/--end_idx file ranges across invocations, same
+contract as the reference (main.py:57, run.sh:1-2).
+
+Usage:
+  python extract_features.py --video_root <dir> --output <dir> \
+      --model resnext-101-kinetics.pth --mode feature --spatio_temporal 1 \
+      --sample_duration 16 --stride 4 [--start_idx 0 --end_idx 100]
+"""
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+
+def decode_video_ffmpeg(path: str, tmpdir: str) -> np.ndarray:
+    """video file → (T, H, W, 3) uint8 via ffmpeg jpg dump
+    (reference main.py:70)."""
+    from PIL import Image
+
+    subprocess.check_call(
+        ["ffmpeg", "-nostdin", "-loglevel", "error", "-i", path,
+         os.path.join(tmpdir, "image_%05d.jpg")])
+    files = sorted(glob.glob(os.path.join(tmpdir, "image_*.jpg")))
+    if not files:
+        raise RuntimeError(f"no frames decoded from {path}")
+    return np.stack([np.asarray(Image.open(f).convert("RGB")) for f in files])
+
+
+def load_frames(path: str) -> np.ndarray:
+    """Accept a video file (needs ffmpeg), a frame directory of jpg/png, or a
+    .npy (T, H, W, 3) stack."""
+    from PIL import Image
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.jpg"))
+                       + glob.glob(os.path.join(path, "*.png")))
+        if not files:
+            raise RuntimeError(f"no frames in {path}")
+        return np.stack([np.asarray(Image.open(f).convert("RGB"))
+                         for f in files])
+    if path.endswith(".npy"):
+        return np.load(path)
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            "ffmpeg not available; provide frame directories or .npy stacks")
+    with tempfile.TemporaryDirectory() as tmp:
+        return decode_video_ffmpeg(path, tmp)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--video_root", required=True,
+                   help="directory of videos / frame dirs / .npy stacks")
+    p.add_argument("--output", required=True, help="output feature directory")
+    p.add_argument("--model", default="",
+                   help="pretrained Kinetics ResNeXt-101 .pth; empty = random "
+                        "init (testing only)")
+    p.add_argument("--mode", default="feature", choices=["feature", "score"])
+    p.add_argument("--spatio_temporal", type=int, default=1)
+    p.add_argument("--temporal_only", type=int, default=0)
+    p.add_argument("--sample_duration", type=int, default=16)
+    p.add_argument("--stride", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--start_idx", type=int, default=0)
+    p.add_argument("--end_idx", type=int, default=-1)
+    p.add_argument("--model_name", default="resnext", help="CLI parity no-op")
+    p.add_argument("--model_depth", type=int, default=101,
+                   help="CLI parity; only 101 is implemented")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from bist_tpu.models.resnext3d import (
+        extract_video_features, init_resnext101, load_torch_resnext,
+        resnext101_apply)
+
+    if args.model:
+        params = load_torch_resnext(args.model)
+        print(f"loaded checkpoint {args.model}")
+    else:
+        params = init_resnext101(jax.random.PRNGKey(0))
+        print("WARNING: random init (no --model checkpoint)")
+
+    mode = "spatio_temporal" if args.spatio_temporal else "temporal_only"
+    if args.temporal_only:
+        mode = "temporal_only"
+    apply_fn = jax.jit(lambda p, c: resnext101_apply(p, c, mode=mode))
+
+    entries = sorted(
+        glob.glob(os.path.join(args.video_root, "*.mp4"))
+        + glob.glob(os.path.join(args.video_root, "*.gif"))
+        + glob.glob(os.path.join(args.video_root, "*.webm"))
+        + glob.glob(os.path.join(args.video_root, "*.npy"))
+        + [d for d in glob.glob(os.path.join(args.video_root, "*"))
+           if os.path.isdir(d)])
+    end = args.end_idx if args.end_idx >= 0 else len(entries)
+    entries = entries[args.start_idx:end]
+    os.makedirs(args.output, exist_ok=True)
+
+    for i, path in enumerate(entries):
+        vid = os.path.splitext(os.path.basename(path))[0]
+        out_path = os.path.join(args.output, vid + ".npy")
+        if os.path.exists(out_path):
+            print(f"[{i + 1}/{len(entries)}] {vid}: exists, skip")
+            continue
+        try:
+            frames = load_frames(path)
+            feats = extract_video_features(
+                params, frames, stride=args.stride,
+                batch_size=args.batch_size, mode=mode, apply_fn=apply_fn)
+            np.save(out_path, feats)
+            print(f"[{i + 1}/{len(entries)}] {vid}: {feats.shape}")
+        except Exception as e:  # match the reference's per-video resilience
+            print(f"[{i + 1}/{len(entries)}] {vid}: FAILED ({e})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""ResNeXt-101 3D extractor tests: output geometry, clip windowing,
+preprocessing, and numerical parity against an independent torch
+implementation of one grouped bottleneck block."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bist_tpu.models.resnext3d import (
+    KINETICS_MEAN, init_resnext101, make_clip_windows, preprocess_frames,
+    resnext101_apply, extract_video_features, _conv3d, _bn,
+)
+
+
+def test_clip_windows():
+    w = make_clip_windows(40, 16, 4)
+    assert len(w) == 10                      # ceil(39/4)
+    assert w[0] == list(range(16))
+    assert all(len(x) == 16 for x in w)
+    # short video loop-pads cyclically
+    w2 = make_clip_windows(5, 16, 4)
+    assert w2[0][:5] == [0, 1, 2, 3, 4]
+    assert w2[0][5:10] == [0, 1, 2, 3, 4]
+    assert len(w2[0]) == 16
+
+
+def test_preprocess_geometry():
+    frames = np.random.default_rng(0).integers(
+        0, 255, size=(3, 240, 320, 3)).astype(np.uint8)
+    out = preprocess_frames(frames)
+    assert out.shape == (3, 112, 112, 3)
+    # normalised: mean-subtracted values can be negative
+    assert out.min() < 0
+
+
+@pytest.mark.slow
+def test_backbone_output_geometry():
+    # tiny spatial size for CPU speed: 16-frame 32x32 clip → (1,1,1?) grid...
+    # use the real 112 for one clip to assert the (16, 2048) contract.
+    params = init_resnext101(jax.random.PRNGKey(0))
+    clip = jnp.zeros((1, 16, 112, 112, 3), jnp.float32)
+    out = resnext101_apply(params, clip, mode="spatio_temporal")
+    assert out.shape == (1, 16, 2048)
+    out2 = resnext101_apply(params, clip, mode="temporal_only")
+    assert out2.shape == (1, 2048)
+
+
+def test_grouped_bottleneck_matches_torch():
+    """One grouped conv3d + folded BN vs torch eval-mode equivalent."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    N, T, H, W, C = 2, 4, 8, 8, 32
+    G = 8
+    x = rng.standard_normal((N, T, H, W, C)).astype(np.float32)
+    w = rng.standard_normal((3, 3, 3, C // G, C)).astype(np.float32) * 0.1
+    gamma = rng.standard_normal(C).astype(np.float32)
+    beta = rng.standard_normal(C).astype(np.float32)
+    mean = rng.standard_normal(C).astype(np.float32)
+    var = np.abs(rng.standard_normal(C)).astype(np.float32) + 0.5
+
+    scale = gamma / np.sqrt(var + 1e-5)
+    bn = {"scale": jnp.asarray(scale), "bias": jnp.asarray(beta - mean * scale)}
+    ours = _bn(bn, _conv3d(jnp.asarray(x), jnp.asarray(w),
+                           stride=(1, 1, 1), groups=G))
+
+    tx = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))
+    tw = torch.from_numpy(np.transpose(w, (4, 3, 0, 1, 2)))
+    conv = torch.nn.functional.conv3d(tx, tw, padding=1, groups=G)
+    bn_t = torch.nn.BatchNorm3d(C, eps=1e-5).eval()
+    with torch.no_grad():
+        bn_t.weight.copy_(torch.from_numpy(gamma))
+        bn_t.bias.copy_(torch.from_numpy(beta))
+        bn_t.running_mean.copy_(torch.from_numpy(mean))
+        bn_t.running_var.copy_(torch.from_numpy(var))
+        ref = bn_t(conv)
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 4, 1))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_extract_video_features_shapes():
+    params = init_resnext101(jax.random.PRNGKey(0))
+    frames = np.zeros((20, 120, 160, 3), np.uint8)
+    feats = extract_video_features(params, frames, stride=8, batch_size=4)
+    # ceil(19/8) = 3 clips
+    assert feats.shape == (3, 16, 2048)
