@@ -172,10 +172,34 @@ def attention_weights(q: jnp.ndarray, k: jnp.ndarray,
     return dropout(p_attn, drop_rate, rngs)
 
 
+def _flash_path(Q, K, V, mask, h):
+    """Flatten leading dims and run the Pallas streaming-softmax kernel
+    (bist_tpu.ops.flash_attention) — taken for long kv axes where
+    materialising (…, Lq, Lk) scores in HBM dominates."""
+    from bist_tpu.ops.flash_attention import flash_attention
+
+    lead = jnp.broadcast_shapes(Q.shape[:-2], K.shape[:-2])
+    Lq, dk = Q.shape[-2:]
+    Lk = K.shape[-2]
+    Qb = jnp.broadcast_to(Q, lead + (Lq, dk)).reshape(-1, Lq, dk)
+    Kb = jnp.broadcast_to(K, lead + (Lk, dk)).reshape(-1, Lk, dk)
+    Vb = jnp.broadcast_to(V, lead + (Lk, dk)).reshape(-1, Lk, dk)
+    mb = None
+    if mask is not None:
+        # mha masks are kv-validity rows broadcast over Lq/heads
+        mb = jnp.broadcast_to(mask[..., 0, :], lead + (Lk,)).reshape(-1, Lk)
+    out = flash_attention(Qb, Kb, Vb, mb)
+    return out.reshape(lead + (Lq, dk))
+
+
+# kv length at which the streaming kernel beats XLA's fused einsum on v5e
+FLASH_MIN_KV = 4096
+
+
 def mha(p: Params, h: int, query: jnp.ndarray, key: jnp.ndarray,
         value: jnp.ndarray, mask: Optional[jnp.ndarray] = None, *,
         drop_rate: float = 0.1, rngs: Optional[RngGen] = None,
-        return_attn: bool = False):
+        return_attn: bool = False, allow_flash: bool = True):
     """Multi-head attention with arbitrary broadcastable leading batch dims.
 
     query (..., Lq, D), key/value (..., Lk, D).  The projections run on the
@@ -191,6 +215,11 @@ def mha(p: Params, h: int, query: jnp.ndarray, key: jnp.ndarray,
     V = split_heads(linear(p["wv"], value), h)
     if mask is not None:
         mask = mask[..., None, :, :]       # add head axis
+    if (allow_flash and not return_attn and rngs is None
+            and K.shape[-2] >= FLASH_MIN_KV
+            and (mask is None or mask.shape[-2] == 1)):
+        x = _flash_path(Q, K, V, mask, h)
+        return linear(p["wo"], merge_heads(x))
     attn = attention_weights(Q, K, mask, drop_rate, rngs)
     x = jnp.einsum("...qk,...kd->...qd", attn, V)
     out = linear(p["wo"], merge_heads(x))
