@@ -72,9 +72,22 @@ def vid_layer_init(key: jax.Array, cfg: ModelConfig) -> Params:
 
 def _attn_sublayer(p: Params, h: int, x: jnp.ndarray, kv: jnp.ndarray,
                    mask, drop: float, rngs) -> jnp.ndarray:
-    """Standard x + dropout(MHA(LN(x), kv, kv, mask)) sublayer."""
+    """Cross-attention sublayer: x + dropout(MHA(LN(x), kv, kv, mask)).
+    Keys/values are the raw memory (the reference norms only the query in
+    sublayer lambdas over external memories, e.g. decoder.py:22-24)."""
     return x + dropout(
         mha(p["attn"], h, layer_norm(p["norm"], x), kv, kv, mask,
+            drop_rate=drop, rngs=rngs), drop, rngs)
+
+
+def _self_attn_sublayer(p: Params, h: int, x: jnp.ndarray, mask, drop: float,
+                        rngs) -> jnp.ndarray:
+    """Self-attention sublayer: the NORMED x feeds q, k, AND v — the
+    reference's `sublayer(x, lambda x: attn(x, x, x, mask))` pattern passes
+    the normed tensor for all three (modules.py:41-44 + encoder.py:176)."""
+    normed = layer_norm(p["norm"], x)
+    return x + dropout(
+        mha(p["attn"], h, normed, normed, normed, mask,
             drop_rate=drop, rngs=rngs), drop, rngs)
 
 
@@ -152,13 +165,13 @@ def vid_layer_apply(p: Params, cfg: ModelConfig, in_ft: FT, ft: FT,
     in_ft = dict(in_ft)
     t2s = s2t = None
     if cfg.t2s:
-        t2s = _attn_sublayer(p["t2s_self"], h, in_ft["t2s"], in_ft["t2s"],
-                             masks["query_mask"], drop, rngs)
+        t2s = _self_attn_sublayer(p["t2s_self"], h, in_ft["t2s"],
+                                  masks["query_mask"], drop, rngs)
         t2s = temporal2spatial(p, cfg, t2s, grid, masks["temporal_mask"], rngs)
         in_ft["t2s"] = t2s
     if cfg.s2t:
-        s2t = _attn_sublayer(p["s2t_self"], h, in_ft["s2t"], in_ft["s2t"],
-                             masks["query_mask"], drop, rngs)
+        s2t = _self_attn_sublayer(p["s2t_self"], h, in_ft["s2t"],
+                                  masks["query_mask"], drop, rngs)
         s2t = spatial2temporal(p, cfg, s2t, grid, masks["temporal_mask"], rngs)
         in_ft["s2t"] = s2t
 
@@ -192,7 +205,7 @@ def ctx_layer_apply(p: Params, cfg: ModelConfig, state: jnp.ndarray,
                     rngs: Optional[RngGen]) -> jnp.ndarray:
     """Query self-attn → cross-attn into memory → FFN (Cap/AudioEncoderLayer)."""
     h, drop = cfg.att_h, cfg.dropout
-    x = _attn_sublayer(p["self"], h, state, state, query_mask, drop, rngs)
+    x = _self_attn_sublayer(p["self"], h, state, query_mask, drop, rngs)
     x = _attn_sublayer(p["cross"], h, x, memory, memory_mask, drop, rngs)
     return sublayer(p["ff"]["norm"], x,
                     lambda y: ffn(p["ff"]["ff"], y, drop, rngs), drop, rngs)
@@ -250,7 +263,7 @@ def mm_layer_apply(p: Params, cfg: ModelConfig, ft: FT, x: jnp.ndarray,
     'sum' (the reference's parallel branch, decoder.py:44-51) runs both from
     the same input and adds the results."""
     h, drop = cfg.att_h, cfg.dropout
-    x = _attn_sublayer(p["self"], h, x, x, masks["trg_mask"], drop, rngs)
+    x = _self_attn_sublayer(p["self"], h, x, masks["trg_mask"], drop, rngs)
     x = _attn_sublayer(p["his"], h, x, ft["encoded_his"], masks["his_mask"], drop, rngs)
     x = _attn_sublayer(p["query"], h, x, ft["encoded_query"], masks["query_mask"],
                        drop, rngs)
