@@ -45,6 +45,7 @@ class FeatureStore:
         self.eager = "rgb" in fea_type          # data_handler.py:122-125
         self.is_audio = "vggish" in fea_type    # dataset.py:175-179 routes by path
         self._cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._shape_cache: Dict[str, tuple] = {}
         self._cache_items = cache_items
         self._lock = threading.Lock()
         self._pool = ThreadPoolExecutor(max_workers=workers) if workers > 0 else None
@@ -90,6 +91,47 @@ class FeatureStore:
         (reference feature_shape, data_handler.py:168-176)."""
         vid = next(iter(self._paths))
         return int(np.load(self.path(vid), allow_pickle=True, mmap_mode="r").shape[-1])
+
+    # -- native batched path ------------------------------------------------
+
+    def shape_of(self, vid: str) -> tuple:
+        """(T, S, D) / (T, D) from the npy header, cached (native header
+        probe when available — no payload read)."""
+        s = self._shape_cache.get(vid)
+        if s is None:
+            from bist_tpu.native.loader import probe_npy_shape
+
+            raw = probe_npy_shape(self.path(vid))
+            # canonicalise like load_npy_tsd: (T, ..., D) → (T, prod(mid), D)
+            if len(raw) > 2:
+                s = (raw[0], int(np.prod(raw[1:-1])), raw[-1])
+            else:
+                s = raw
+            self._shape_cache[vid] = s
+        return s
+
+    def get_batch(self, vids: Sequence[str], t_pad: int) -> np.ndarray:
+        """Assemble a zero-padded (B, t_pad, *tail) batch.
+
+        Uses the C++ thread-pool assembler (bist_tpu.native) when available —
+        payloads stream straight into the batch buffer; falls back to the
+        per-item python path (identical semantics)."""
+        from bist_tpu.native.loader import assemble_feature_batch
+
+        tail = self.shape_of(vids[0])[1:]
+        if self.eager and self.skip > 1:
+            # subsampled eager features must go through the python path
+            fts = [self.get(v) for v in vids]
+            out = np.zeros((len(vids), t_pad) + tuple(tail), np.float32)
+            for i, f in enumerate(fts):
+                k = min(f.shape[0], t_pad)
+                out[i, :k] = f.reshape(f.shape[0], *tail)[:k]
+            return out
+        return assemble_feature_batch([self.path(v) for v in vids], t_pad,
+                                      tuple(tail))
+
+    def max_t(self, vids: Sequence[str]) -> int:
+        return max(self.shape_of(v)[0] for v in vids)
 
 
 def build_stores(fea_types: Optional[Sequence[str]], fea_path_template: str,

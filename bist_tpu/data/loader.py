@@ -99,16 +99,30 @@ class AVSDLoader:
             ans_out.append(ao)
         captions = ([e.caption for e in exs]
                     if exs[0].caption is not None else None)
-        fts = audio = None
-        if self.visual_stores:
-            fts = [self.visual_stores[0].get(e.vid) for e in exs]
-        if self.audio_stores:
-            audio = [self.audio_stores[0].get(e.vid) for e in exs]
+        from bist_tpu.data.batching import bucket_len
+
+        vids = [e.vid for e in exs]
+        n_rows = self._pad_rows(len(exs))
+
+        def _batched(store):
+            """Native header probe → bucketed T → C++ thread-pool assembly
+            (falls back to python inside get_batch)."""
+            t_pad = bucket_len(store.max_t(vids), self.time_buckets)
+            arr = store.get_batch(vids, t_pad)
+            if n_rows > len(exs):
+                arr = np.concatenate(
+                    [arr, np.zeros((n_rows - len(exs),) + arr.shape[1:],
+                                   np.float32)], axis=0)
+            return arr
+
+        fts_arr = _batched(self.visual_stores[0]) if self.visual_stores else None
+        audio_arr = _batched(self.audio_stores[0]) if self.audio_stores else None
         batch = make_batch(histories, questions, ans_in, ans_out,
-                           captions=captions, fts=fts, audio_fts=audio,
+                           captions=captions, fts=None, audio_fts=None,
                            len_buckets=self.len_buckets,
                            time_buckets=self.time_buckets,
-                           pad_batch_to=self._pad_rows(len(exs)))
+                           pad_batch_to=n_rows)
+        batch = batch._replace(fts=fts_arr, audio_fts=audio_arr)
         meta = BatchMeta(vids=[e.vid for e in exs],
                          qa_ids=[e.qa_id for e in exs],
                          real_count=len(exs))

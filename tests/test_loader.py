@@ -1,0 +1,76 @@
+"""AVSDLoader integration: feature stores (native batched path), bucketed
+shapes, epoch coverage, prefetch."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from bist_tpu.data.avsd import load_avsd
+from bist_tpu.data.features import FeatureStore, build_stores
+from bist_tpu.data.loader import AVSDLoader
+from bist_tpu.vocab import PAD, get_vocabulary
+
+
+@pytest.fixture
+def dataset(tmp_path, rng):
+    dialogs = []
+    for d in range(5):
+        dialogs.append({
+            "image_id": f"vid{d}",
+            "caption": "a cat", "summary": "cat sits",
+            "dialog": [{"question": "what is it", "answer": "a cat"}] * 2,
+        })
+    p = tmp_path / "train.json"
+    p.write_text(json.dumps({"dialogs": dialogs}))
+    ftdir = tmp_path / "resnext_st"
+    ftdir.mkdir()
+    adir = tmp_path / "vggish"
+    adir.mkdir()
+    for d in range(5):
+        np.save(ftdir / f"vid{d}.npy",
+                rng.standard_normal((3 + d, 4, 16)).astype(np.float32))
+        np.save(adir / f"vid{d}.npy",
+                rng.standard_normal((2 + d, 8)).astype(np.float32))
+    v = get_vocabulary(str(p), cutoff=0, include_caption="summary")
+    data = load_avsd(str(p), v, include_caption="summary",
+                     separate_caption=True)
+    template = str(tmp_path / "<FeaType>/<ImageID>.npy")
+    return data, template
+
+
+def test_loader_batches_with_native_features(dataset):
+    data, template = dataset
+    vis, aud = build_stores(["resnext_st", "vggish"], template, data.vid_set)
+    assert len(vis) == 1 and len(aud) == 1   # vggish routed to audio
+    loader = AVSDLoader(data, visual_stores=vis, audio_stores=aud,
+                        batch_size=4, shuffle=False,
+                        len_buckets=(8, 16), time_buckets=(8, 16),
+                        pad_batch_multiple=4)
+    seen = 0
+    for batch, meta in loader:
+        assert batch.query.shape[0] % 4 == 0
+        assert batch.fts is not None and batch.fts.shape[2:] == (4, 16)
+        assert batch.audio_fts is not None and batch.audio_fts.shape[2:] == (8,)
+        assert batch.fts.shape[1] in (8, 16)
+        # feature content matches the store for the first row
+        ref = vis[0].get(meta.vids[0])
+        np.testing.assert_array_equal(
+            batch.fts[0, :ref.shape[0]], ref)
+        seen += meta.real_count
+    assert seen == len(data.examples) == 10
+
+
+def test_loader_epoch_coverage_shuffled(dataset):
+    data, template = dataset
+    loader = AVSDLoader(data, batch_size=3, shuffle=True, seed=3)
+    ids = []
+    for batch, meta in loader:
+        ids.extend(meta.qa_ids)
+    assert sorted(ids) == list(range(10))
+    ids2 = []
+    for batch, meta in loader:
+        ids2.extend(meta.qa_ids)
+    assert sorted(ids2) == list(range(10))
+    assert ids != ids2   # reshuffled across epochs
