@@ -1,0 +1,82 @@
+"""Reference-checkpoint importer round-trip: build the reference torch model,
+torch.save it like the reference does, import via bist_tpu.convert, and
+assert the JAX forward equals the torch forward."""
+
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "model")),
+                                reason="reference tree not available")
+
+
+def test_import_reference_checkpoint(tmp_path, rng):
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    sys.path.insert(0, REF)
+    try:
+        import model.mtn as ref_mtn
+        import data.dataset as ref_dataset
+    finally:
+        sys.path.remove(REF)
+
+    from tests.test_torch_parity import make_ref_args
+    from bist_tpu.config import ModelConfig
+
+    cfg0 = ModelConfig(vocab_size=60, nb_blocks=2, nb_venc_blocks=2,
+                       nb_cenc_blocks=2, d_model=16, att_h=2, dropout=0.0,
+                       include_caption="summary", separate_caption=True,
+                       ft_sizes=(24,))
+    args = make_ref_args(cfg0)
+    # reference .conf stores (vocab, args); args needs dropout>0 fields etc.
+    vocab = {f"w{i}": i for i in range(60)}
+    torch_model = ref_mtn.make_model(60, 60, args, ft_sizes=[24])
+    torch_model.eval()
+
+    pth = tmp_path / "mtn_best.pth.tar"
+    conf = tmp_path / "mtn.conf"
+    torch.save(torch_model, str(pth))
+    with open(conf, "wb") as f:
+        pickle.dump((vocab, args), f, -1)
+
+    from bist_tpu.convert import import_reference_checkpoint
+
+    params, cfg, vocab2 = import_reference_checkpoint(
+        str(pth), str(conf), reference_root=REF)
+    assert cfg.d_model == 16 and cfg.ft_sizes == (24,)
+    assert vocab2 == vocab
+
+    # forward parity with the imported weights
+    from bist_tpu.data.batching import Batch
+    from bist_tpu.models.model import forward_logprobs
+    from bist_tpu.vocab import PAD
+
+    B = 2
+
+    def toks(L):
+        x = rng.integers(4, 60, size=(B, L)).astype(np.int64)
+        x[:, -1] = PAD
+        return x
+
+    q, h_, c, t = toks(5), toks(7), toks(4), toks(6)
+    fts = rng.standard_normal((B, 3, 4, 24)).astype(np.float32)
+    ref_batch = ref_dataset.Batch(
+        torch.from_numpy(q), torch.from_numpy(h_), [fts],
+        torch.from_numpy(c), torch.from_numpy(t), torch.from_numpy(t),
+        PAD, ["v0", "v1"], [0, 1])
+    with torch.no_grad():
+        ft = torch_model.forward(ref_batch)
+        ref_logp = torch_model.generator(ft, ref_batch, args).numpy()
+
+    our_batch = Batch(query=q.astype(np.int32), his=h_.astype(np.int32),
+                      trg=t.astype(np.int32), trg_y=t.astype(np.int32),
+                      cap=c.astype(np.int32), fts=fts, audio_fts=None)
+    our_logp, _ = forward_logprobs(params, cfg, our_batch, rngs=None)
+    np.testing.assert_allclose(np.asarray(our_logp), ref_logp,
+                               rtol=5e-4, atol=5e-4)
