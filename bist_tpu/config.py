@@ -52,6 +52,9 @@ class ModelConfig:
     ft_sizes: Tuple[int, ...] = ()
     # Compute dtype for activations on TPU; params stay float32.
     dtype: str = "float32"
+    # jax.checkpoint each decoder round (recompute activations in backward —
+    # trades FLOPs for HBM; useful for long videos / big batches).
+    remat: bool = False
     max_pos: int = 5000              # sinusoidal PE table length (modules.py:127)
 
     def __post_init__(self):

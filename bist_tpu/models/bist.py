@@ -421,11 +421,21 @@ def decoder_apply(p: Params, cfg: ModelConfig, ft: FT, x: jnp.ndarray,
                   masks: Masks, rngs: Optional[RngGen]) -> FT:
     """Full training-path decoder: N rounds of modality reasoning + response
     layer (decoder.py:107-186).  Returns ft with 'decoded_text' and the
-    final-round modality features (consumed by the AE losses)."""
+    final-round modality features (consumed by the AE losses).
+
+    cfg.remat wraps each round in jax.checkpoint: activations of the round
+    are recomputed during backprop instead of stored (dropout keys are baked
+    into the jaxpr, so recomputation is bit-identical)."""
     in_ft: FT = {k: ft["encoded_query"] for k in ("t2s", "s2t", "audio", "cap")}
     for n in range(cfg.nb_blocks):
-        ft, in_ft = modality_step(p, cfg, n, in_ft, ft, masks, rngs)
-        x = mm_layer_apply(p["mm_layers"][n], cfg, ft, x, masks, rngs)
+        def round_body(p, ft, in_ft, x, masks, _n=n):
+            ft2, in_ft2 = modality_step(p, cfg, _n, in_ft, ft, masks, rngs)
+            x2 = mm_layer_apply(p["mm_layers"][_n], cfg, ft2, x, masks, rngs)
+            return ft2, in_ft2, x2
+
+        if cfg.remat:
+            round_body = jax.checkpoint(round_body)
+        ft, in_ft, x = round_body(p, ft, in_ft, x, masks)
     ft = dict(ft)
     ft["decoded_text"] = layer_norm(p["norm"], x)
     return ft

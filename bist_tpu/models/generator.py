@@ -44,8 +44,10 @@ def generator_init(key: jax.Array, cfg: ModelConfig) -> Params:
 
 
 def vocab_log_softmax(lut: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Tied generator: log_softmax(x @ lut^T) (generator.py:21-24)."""
-    return jax.nn.log_softmax(jnp.matmul(x, lut.T), axis=-1)
+    """Tied generator: log_softmax(x @ lut^T) (generator.py:21-24).
+    Matmul in the activation dtype; softmax always f32."""
+    logits = jnp.matmul(x, lut.astype(x.dtype).T).astype(jnp.float32)
+    return jax.nn.log_softmax(logits, axis=-1)
 
 
 def _source(name: str, ft, tokens):
@@ -96,7 +98,8 @@ def apply_generator(p: Params, cfg: ModelConfig, lut: jnp.ndarray,
         return vocab_log_softmax(lut, x)
 
     vocab = lut.shape[0]
-    p_vocab = jax.nn.softmax(jnp.matmul(x, lut.T), axis=-1)
+    p_vocab = jax.nn.softmax(
+        jnp.matmul(x, lut.astype(x.dtype).T).astype(jnp.float32), axis=-1)
     sources = cfg.ptr_ft_list
     encoded_in = ft["encoded_tgt"]
     gen_vec_parts = [x, encoded_in]
@@ -105,17 +108,20 @@ def apply_generator(p: Params, cfg: ModelConfig, lut: jnp.ndarray,
         text, enc_text, mask = _source(name, ft, tokens)
         if cfg.mask_unk:
             mask = mask & (text != 0)[:, None, :]   # ban <unk> sources (generator.py:59-60)
-        attn = _pointer_attn(p["pointer_attn"][idx], x, enc_text, mask)
+        attn = _pointer_attn(p["pointer_attn"][idx], x, enc_text, mask) \
+            .astype(jnp.float32)
         copy_dists.append(_copy_dist(attn, text, vocab))
         # context vector: attn-weighted sum of the (unprojected) encoded text
-        text_vec = jnp.einsum("blj,bjd->bld", attn, enc_text)
+        text_vec = jnp.einsum("blj,bjd->bld", attn.astype(x.dtype), enc_text)
         gen_vec_parts.append(text_vec)
 
     if len(sources) > 1:
         # MultiPointerGenerator: softmax switch over [sources..., vocab]
         # (generator.py:118-127)
         switch = jax.nn.softmax(
-            linear(p["pointer_gen_W"], jnp.concatenate(gen_vec_parts, axis=-1)), -1)
+            linear(p["pointer_gen_W"],
+                   jnp.concatenate(gen_vec_parts, axis=-1))
+            .astype(jnp.float32), -1)
         p_out = switch[..., -1:] * p_vocab
         for idx in range(len(sources)):
             p_out = p_out + switch[..., idx:idx + 1] * copy_dists[idx]
@@ -123,6 +129,7 @@ def apply_generator(p: Params, cfg: ModelConfig, lut: jnp.ndarray,
         # PointerGenerator: sigmoid switch mixing p_vocab vs p_copy
         # (generator.py:68-73); gen_vec order is (logits, text_vec, encoded_in)
         gen_vec = jnp.concatenate([x, gen_vec_parts[2], encoded_in], axis=-1)
-        g = jax.nn.sigmoid(linear(p["pointer_gen_W"], gen_vec))
+        g = jax.nn.sigmoid(
+            linear(p["pointer_gen_W"], gen_vec).astype(jnp.float32))
         p_out = (1.0 - g) * copy_dists[0] + g * p_vocab
     return jnp.log(p_out)

@@ -81,7 +81,13 @@ def linear_init(key: jax.Array, d_in: int, d_out: int) -> Params:
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.matmul(x, p["w"]) + p["b"]
+    """Matmul in the activation dtype (params stored f32; cast to bf16 at use
+    under the mixed-precision policy so the MXU runs bf16 with f32 accum)."""
+    w, b = p["w"], p["b"]
+    if x.dtype != w.dtype:
+        w = w.astype(x.dtype)
+        b = b.astype(x.dtype)
+    return jnp.matmul(x, w) + b
 
 
 def layer_norm_init(d: int) -> Params:
@@ -89,12 +95,16 @@ def layer_norm_init(d: int) -> Params:
 
 
 def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    """(x - mean) / (std + eps) with Bessel-corrected std (modules.py:27-31)."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
+    """(x - mean) / (std + eps) with Bessel-corrected std (modules.py:27-31).
+    Statistics always in float32 for bf16 stability; result in x.dtype."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
     d = x.shape[-1]
-    var = jnp.sum(jnp.square(x - mean), axis=-1, keepdims=True) / max(d - 1, 1)
+    var = jnp.sum(jnp.square(xf - mean), axis=-1, keepdims=True) / max(d - 1, 1)
     std = jnp.sqrt(var)
-    return p["scale"] * (x - mean) / (std + eps) + p["bias"]
+    out = p["scale"] * (xf - mean) / (std + eps) + p["bias"]
+    return out.astype(dt)
 
 
 def embedding_init(key: jax.Array, vocab: int, d_model: int) -> Params:
@@ -165,10 +175,12 @@ def attention_weights(q: jnp.ndarray, k: jnp.ndarray,
     q: (..., h, Lq, d_k); k: (..., h, Lk, d_k); leading dims broadcast.
     mask broadcastable to (..., 1, Lq, Lk); masked where == 0."""
     d_k = q.shape[-1]
-    scores = jnp.einsum("...qd,...kd->...qk", q, k) / math.sqrt(d_k)
+    # scores + softmax in f32 regardless of activation dtype
+    scores = jnp.einsum("...qd,...kd->...qk", q, k,
+                        preferred_element_type=jnp.float32) / math.sqrt(d_k)
     if mask is not None:
         scores = jnp.where(mask == 0, NEG_INF, scores)
-    p_attn = jax.nn.softmax(scores, axis=-1)
+    p_attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     return dropout(p_attn, drop_rate, rngs)
 
 

@@ -103,12 +103,16 @@ def token_counts(batch: Batch) -> Tuple[jnp.ndarray, jnp.ndarray]:
 # Encode (MTN.encode, mtn.py:36-51)
 
 
+def activation_dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
 def _embed_seq(params: Params, cfg: ModelConfig, pe: jnp.ndarray,
                ids: Optional[jnp.ndarray], rngs: Optional[RngGen],
                offset: int = 0) -> Optional[jnp.ndarray]:
     if ids is None:
         return None
-    x = embed(params["embed"], ids, cfg.d_model)
+    x = embed(params["embed"], ids, cfg.d_model).astype(activation_dtype(cfg))
     return add_positional(pe, x, cfg.dropout, rngs, offset=offset)
 
 
@@ -130,11 +134,13 @@ def encode(params: Params, cfg: ModelConfig, batch: Batch,
         i += 1
     ft["encoded_his"] = layer_norm(norms[i], h_emb)
 
+    adt = activation_dtype(cfg)
     if cfg.has_video and batch.fts is not None:
-        v = jax.nn.relu(linear(params["vid_enc"]["W"], batch.fts))
+        v = jax.nn.relu(linear(params["vid_enc"]["W"], batch.fts.astype(adt)))
         ft["video_grid"] = layer_norm(params["vid_enc"]["in_norm"], v)
     if cfg.has_audio and batch.audio_fts is not None:
-        a = jax.nn.relu(linear(params["vid_enc"]["a_W"], batch.audio_fts))
+        a = jax.nn.relu(linear(params["vid_enc"]["a_W"],
+                               batch.audio_fts.astype(adt)))
         ft["encoded_audio"] = layer_norm(params["vid_enc"]["a_in_norm"], a)
     return ft
 

@@ -79,6 +79,8 @@ def build_parser():
     p.add_argument("--num-devices", default=0, type=int,
                    help="limit the data-parallel mesh (0 = all devices)")
     p.add_argument("--bf16", default=0, type=int, help="bfloat16 activations")
+    p.add_argument("--remat", default=0, type=int,
+                   help="gradient checkpointing per decoder round")
     return p
 
 
@@ -147,7 +149,8 @@ def main(argv=None):
         t2s=bool(args.t2s), s2t=bool(args.s2t),
         include_caption=args.include_caption,
         separate_caption=bool(args.separate_caption), ft_sizes=ft_sizes,
-        dtype="bfloat16" if args.bf16 else "float32")
+        dtype="bfloat16" if args.bf16 else "float32",
+        remat=bool(args.remat))
     tcfg = TrainConfig(
         num_epochs=args.num_epochs, rand_seed=args.rand_seed,
         batch_size=args.batch_size, max_length=args.max_length,
