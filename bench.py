@@ -107,9 +107,21 @@ def main():
             break
         t_pad = t_bucket(max(int(turn_T[i]) for i in rows))
         all_batches.append((rows, t_pad))
-    # sample evenly across the T spectrum so the measurement is unbiased
-    sel = np.linspace(0, len(all_batches) - 1, n_batches).astype(int)
-    batches = [make_batch_rows(*all_batches[i]) for i in sel]
+    # one representative batch per T bucket, weighted by bucket frequency in
+    # the timed loop — keeps staged bytes minimal (this harness's tunnel is
+    # slow and flaky under volume) while measuring the full T spectrum
+    from collections import Counter, OrderedDict
+
+    bucket_count = Counter(t for _, t in all_batches)
+    rep: "OrderedDict[int, Batch]" = OrderedDict()
+    for rows, t_pad in all_batches:
+        if t_pad not in rep:
+            rep[t_pad] = make_batch_rows(rows, t_pad)
+    total = sum(bucket_count.values())
+    schedule = []
+    for t_pad in rep:
+        k = max(1, round(n_batches * bucket_count[t_pad] / total))
+        schedule += [t_pad] * k
 
     params = jax.device_put(init_model(jax.random.PRNGKey(0), cfg))
     beam_jit = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
@@ -122,23 +134,22 @@ def main():
     # whose tunnelled H2D link runs at ~0.05-0.14 GB/s vs the ≥10 GB/s of a
     # real TPU host — timing it would benchmark the tunnel, not the
     # framework: decode compute is ~70 ms/batch, the tunnel transfer ~2.7 s.)
-    staged = [jax.device_put(b) for b in batches]
-    for b in staged:
-        jax.block_until_ready(b.fts)
+    staged = {}
+    for t_pad, b in rep.items():
+        staged[t_pad] = jax.device_put(b)
+        jax.block_until_ready(staged[t_pad].fts)
 
     # warm up one compile per distinct T bucket
-    warmed = set()
-    for batch in staged:
-        if batch.fts.shape not in warmed:
-            np.asarray(beam_jit(params, batch).scores)
-            warmed.add(batch.fts.shape)
+    for t_pad, batch in staged.items():
+        np.asarray(beam_jit(params, batch).scores)
 
-    # timed: batched beam-search decode, results drained to host
+    # timed: batched beam-search decode over the bucket-weighted schedule,
+    # results drained to host
     n_resp = 0
     t0 = time.time()
     results = []
-    for batch in staged:
-        results.append(beam_jit(params, batch))
+    for t_pad in schedule:
+        results.append(beam_jit(params, staged[t_pad]))
         n_resp += B
     for r in results:
         np.asarray(r.scores)     # drain
@@ -148,7 +159,8 @@ def main():
     print(json.dumps({
         "metric": "avsd_generation_throughput",
         "value": round(rps, 2),
-        "unit": "responses/sec/chip (beam=5, maxlen=12, d_model=128)",
+        "unit": ("responses/sec/chip (beam=5, maxlen=12, d_model=128, "
+                 "feature grids staged in HBM)"),
         "vs_baseline": round(rps / REFERENCE_GPU_RESP_PER_SEC, 2),
     }))
 
