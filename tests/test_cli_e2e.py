@@ -1,0 +1,103 @@
+"""CLI end-to-end smoke — the in-suite version of the reference's test_mode
+pipeline (SURVEY §4.1): train → generate (beam + greedy) → evaluate via the
+actual entry-point scripts on tiny synthetic data, CPU."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(args, cwd=REPO, env_extra=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"   # placeholder; scripts force cpu via flag
+    env.update(env_extra or {})
+    r = subprocess.run([sys.executable] + args, cwd=cwd, env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"{args}\nSTDOUT:{r.stdout[-3000:]}\nSTDERR:{r.stderr[-3000:]}"
+    return r
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("avsd")
+    run(["scripts/make_synth_data.py", str(root), "--n-dialogs", "5",
+         "--ft-dim", "32"])
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def trained(synth, tmp_path_factory):
+    exp = tmp_path_factory.mktemp("exp")
+    model = os.path.join(str(exp), "mtn")
+    run(["train.py",
+         "--fea-type", "resnext_st",
+         "--train-path", os.path.join(synth, "<FeaType>/<ImageID>.npy"),
+         "--train-set", os.path.join(synth, "train_test.json"),
+         "--valid-path", os.path.join(synth, "<FeaType>/<ImageID>.npy"),
+         "--valid-set", os.path.join(synth, "valid_test.json"),
+         "--model", model, "--num-epochs", "1", "--batch-size", "8",
+         "--nb-blocks", "1", "--nb-venc-blocks", "1", "--nb-cenc-blocks", "1",
+         "--d-model", "32", "--att-h", "4", "--include-caption", "summary",
+         "--warmup-steps", "20", "--report-interval", "1", "--device", "cpu"])
+    return synth, model
+
+
+def test_train_artifacts(trained):
+    synth, model = trained
+    assert os.path.exists(model + ".conf")
+    assert os.path.exists(model + "_params.txt")
+    assert os.path.isdir(model + "_best")
+    train_csv = open(model + "_train.csv").read().splitlines()
+    assert train_csv[0] == "epoch,step,loss,ae_temporal_loss,ae_spatial_loss"
+    assert len(train_csv) > 1
+    trace_csv = open(model + "_trace.csv").read().splitlines()
+    assert trace_csv[0] == "epoch,split,loss,ae_temporal_loss,ae_spatial_loss"
+    assert any(l.split(",")[1] == "val" for l in trace_csv[1:])
+
+
+@pytest.mark.parametrize("style", ["beam_search", "greedy"])
+def test_generate_and_evaluate(trained, tmp_path, style):
+    synth, model = trained
+    out = str(tmp_path / f"result_{style}.json")
+    run(["generate.py",
+         "--test-path", os.path.join(synth, "<FeaType>/<ImageID>.npy"),
+         "--test-set", os.path.join(synth, "test_test.json"),
+         "--model-conf", model + ".conf", "--model", model,
+         "--beam", "3", "--penalty", "1.0", "--nbest", "3",
+         "--decode-style", style, "--output", out,
+         "--gen-batch-size", "8", "--device", "cpu"])
+    result = json.load(open(out))
+    orig = json.load(open(os.path.join(synth, "test_test.json")))
+    assert len(result["dialogs"]) == len(orig["dialogs"])
+    # structure preserved, answers replaced with generated strings
+    for rd, od in zip(result["dialogs"], orig["dialogs"]):
+        assert rd["image_id"] == od["image_id"]
+        assert len(rd["dialog"]) == len(od["dialog"])
+        for turn in rd["dialog"]:
+            assert isinstance(turn["answer"], str)
+
+    r = run(["evaluate.py", out])
+    assert "Bleu_4" in r.stdout and "CIDEr" in r.stdout
+    assert os.path.exists(out.replace(".json", ".eval"))
+
+
+def test_train_resume(trained, tmp_path):
+    synth, model = trained
+    model2 = str(tmp_path / "mtn2")
+    run(["train.py",
+         "--fea-type", "resnext_st",
+         "--train-path", os.path.join(synth, "<FeaType>/<ImageID>.npy"),
+         "--train-set", os.path.join(synth, "train_test.json"),
+         "--valid-path", os.path.join(synth, "<FeaType>/<ImageID>.npy"),
+         "--valid-set", os.path.join(synth, "valid_test.json"),
+         "--model", model2, "--num-epochs", "2", "--batch-size", "8",
+         "--nb-blocks", "1", "--nb-venc-blocks", "1", "--nb-cenc-blocks", "1",
+         "--d-model", "32", "--att-h", "4", "--include-caption", "summary",
+         "--warmup-steps", "20", "--device", "cpu",
+         "--resume", model + "_best"])
+    assert os.path.isdir(model2 + "_best")
