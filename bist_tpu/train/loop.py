@@ -86,8 +86,18 @@ def make_eval_step(cfg: ModelConfig, tcfg: TrainConfig):
     return jax.jit(step_fn)
 
 
+def _finite(x) -> bool:
+    import math
+
+    return math.isfinite(float(x))
+
+
 class EpochStats:
-    """Accumulates the reference's run_epoch totals (train.py:21-52)."""
+    """Accumulates the reference's run_epoch totals (train.py:21-52).
+
+    Accumulation stays ON DEVICE (lazy jnp adds) so the step dispatch
+    pipeline is never forced to sync; host conversion happens once in
+    summary() (and at report intervals in the caller)."""
 
     def __init__(self):
         self.loss = 0.0
@@ -97,18 +107,18 @@ class EpochStats:
         self.qtokens = 0
 
     def update(self, m: Dict[str, Any]):
-        self.loss += float(m["out"])
-        self.temporal_ae += float(m["temporal_ae"])
-        self.spatial_ae += float(m["spatial_ae"])
-        self.tokens += int(m["ntokens"])
-        self.qtokens += int(m["qntokens"])
+        self.loss = self.loss + m["out"]
+        self.temporal_ae = self.temporal_ae + m["temporal_ae"]
+        self.spatial_ae = self.spatial_ae + m["spatial_ae"]
+        self.tokens = self.tokens + m["ntokens"]
+        self.qtokens = self.qtokens + m["qntokens"]
 
     def summary(self) -> Dict[str, float]:
-        t = max(self.tokens, 1)
-        q = max(self.qtokens, 1)
-        return {"out": self.loss / t,
-                "temporal_ae": self.temporal_ae / q,
-                "spatial_ae": self.spatial_ae / q}
+        t = max(int(self.tokens), 1)
+        q = max(int(self.qtokens), 1)
+        return {"out": float(self.loss) / t,
+                "temporal_ae": float(self.temporal_ae) / q,
+                "spatial_ae": float(self.spatial_ae) / q}
 
 
 def run_epoch(loader, state_or_params, step_fn, epoch: int, *,
@@ -118,9 +128,12 @@ def run_epoch(loader, state_or_params, step_fn, epoch: int, *,
     """One pass over the loader.  For train=True, state_holder is a 1-element
     list holding TrainState (mutated in place so the caller sees updates)."""
     stats = EpochStats()
-    for j, (batch, meta) in enumerate(loader):
-        if shard is not None:
-            batch = shard(batch)
+    it = loader
+    if shard is not None:
+        from bist_tpu.parallel.mesh import prefetch_to_device
+
+        it = prefetch_to_device(iter(loader), shard, size=2)
+    for j, (batch, meta) in enumerate(it):
         if train:
             state = state_holder[0]
             key = jax.random.fold_in(rng_key, int(state.step))
@@ -129,7 +142,13 @@ def run_epoch(loader, state_or_params, step_fn, epoch: int, *,
         else:
             metrics = step_fn(state_or_params, batch)
         stats.update(metrics)
+        # The report block below is the only per-interval host sync; the
+        # non-finite guard rides it (detection latency ≤ report_interval).
         if train and (j + 1) % report_interval == 0:
+            if not _finite(metrics["loss"]):
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {epoch + 1} step "
+                    f"{j + 1}; resume the last good checkpoint with --resume")
             nt = max(int(metrics["ntokens"]), 1)
             qt = max(int(metrics["qntokens"]), 1)
             line = (f"Epoch: {epoch + 1} Step: {j + 1} "
