@@ -1,0 +1,199 @@
+"""Serving runtime: dynamic-batching response generation.
+
+The reference has no serving story (generation is an offline batch-1 script,
+generate.py).  This module provides the production path implied by the
+framework's throughput target: a `Responder` that owns the compiled beam
+search, and a `DynamicBatcher` that coalesces concurrent requests into
+fixed-shape batches (padding to the compiled geometry) with a latency bound.
+
+Design for TPU:
+  * one compiled program per (batch, shape-bucket) geometry, compiled at
+    startup (`warmup()`), never at serve time;
+  * requests are padded into the fixed geometry; short batches are padded
+    with empty rows (masked out — zero loss of correctness, bounded waste);
+  * the batcher thread collects up to `max_batch` requests or
+    `max_wait_ms`, whichever first — classic continuous-batching tradeoff.
+
+Usage:
+    responder = Responder(params, cfg, vocab, gcfg)
+    responder.warmup()
+    server = DynamicBatcher(responder, max_batch=32, max_wait_ms=10)
+    server.start()
+    answer = server.submit(question, history, caption, features)   # blocking
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from bist_tpu.config import GenerateConfig, ModelConfig
+from bist_tpu.data.batching import Batch, bucket_len, pad_to
+from bist_tpu.decode.beam import BeamResult, beam_search, extract_hyps
+from bist_tpu.vocab import PAD, SOS, make_id2word, words2ids
+
+
+@dataclass
+class Request:
+    question: np.ndarray
+    history: np.ndarray
+    caption: Optional[np.ndarray]
+    features: Optional[np.ndarray]          # (T, S, Dv)
+    audio: Optional[np.ndarray] = None
+    _event: threading.Event = field(default_factory=threading.Event)
+    _answer: Optional[str] = None
+    _nbest: Optional[List[Tuple[List[str], float]]] = None
+
+
+class Responder:
+    """Owns params + the jitted beam search; turns Requests into answers."""
+
+    def __init__(self, params, cfg: ModelConfig, vocab: Dict[str, int],
+                 gcfg: GenerateConfig, max_batch: int = 32,
+                 len_buckets=(16, 32, 64, 128, 256),
+                 time_buckets=(16, 32, 48, 64)):
+        import jax
+
+        self.params = params
+        self.cfg = cfg
+        self.gcfg = gcfg
+        self.id2word = make_id2word(vocab)
+        self.vocab = vocab
+        self.max_batch = max_batch
+        self.len_buckets = tuple(len_buckets)
+        self.time_buckets = tuple(time_buckets)
+        self._beam = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
+
+    def tokenize(self, text: str) -> np.ndarray:
+        return words2ids(text, self.vocab)
+
+    def make_batch(self, reqs: List[Request]) -> Batch:
+        n = self.max_batch
+        dummy = np.full((n, 1), SOS, np.int32)
+
+        def tok(field_vals, default_len=1):
+            L = bucket_len(max((len(v) for v in field_vals), default=default_len),
+                           self.len_buckets)
+            arr = pad_to(list(field_vals), L)
+            if len(field_vals) < n:
+                arr = np.concatenate(
+                    [arr, np.full((n - len(field_vals), L), PAD, np.int32)])
+            return arr
+
+        q = tok([r.question for r in reqs])
+        h = tok([r.history for r in reqs])
+        cap = None
+        if self.cfg.has_caption:
+            cap = tok([r.caption if r.caption is not None
+                       else np.array([PAD], np.int32) for r in reqs])
+        fts = None
+        if self.cfg.has_video:
+            T = bucket_len(max(r.features.shape[0] for r in reqs),
+                           self.time_buckets)
+            tail = reqs[0].features.shape[1:]
+            fts = np.zeros((n, T) + tail, np.float32)
+            for i, r in enumerate(reqs):
+                k = min(r.features.shape[0], T)
+                fts[i, :k] = r.features[:k]
+        audio = None
+        if self.cfg.has_audio:
+            Ta = bucket_len(max(r.audio.shape[0] for r in reqs),
+                            self.time_buckets)
+            atail = reqs[0].audio.shape[1:]
+            audio = np.zeros((n, Ta) + atail, np.float32)
+            for i, r in enumerate(reqs):
+                k = min(r.audio.shape[0], Ta)
+                audio[i, :k] = r.audio[:k]
+        return Batch(query=q, his=h, trg=dummy, trg_y=dummy, cap=cap,
+                     fts=fts, audio_fts=audio)
+
+    def respond(self, reqs: List[Request]) -> None:
+        import jax
+
+        batch = self.make_batch(reqs)
+        result = jax.device_get(self._beam(self.params, batch))
+        result = BeamResult(*result)
+        for i, r in enumerate(reqs):
+            hyps = extract_hyps(result, self.id2word, i, self.gcfg.nbest)
+            r._nbest = hyps
+            r._answer = " ".join(hyps[0][0]) if hyps else ""
+            r._event.set()
+
+    def warmup(self, feature_shape: Optional[Tuple[int, ...]] = None,
+               lens=(16,), t_clips=16) -> None:
+        """Compile the serve-time geometry before taking traffic."""
+        req = Request(
+            question=np.array([SOS, 4, 3], np.int32),
+            history=np.array([PAD], np.int32),
+            caption=np.array([PAD], np.int32) if self.cfg.has_caption else None,
+            features=np.zeros((t_clips,) + tuple(
+                feature_shape or (16, self.cfg.ft_sizes[0])), np.float32)
+            if self.cfg.has_video else None,
+            audio=np.zeros((t_clips, self.cfg.ft_sizes[1]), np.float32)
+            if self.cfg.has_audio else None)
+        self.respond([req])
+
+
+class DynamicBatcher:
+    """Background thread coalescing requests into Responder batches."""
+
+    def __init__(self, responder: Responder, max_batch: int = 32,
+                 max_wait_ms: float = 10.0):
+        self.responder = responder
+        self.max_batch = min(max_batch, responder.max_batch)
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue[Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = {"requests": 0, "batches": 0}
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            reqs = [first]
+            deadline = time.time() + self.max_wait
+            while len(reqs) < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    reqs.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self.responder.respond(reqs)
+            self.stats["requests"] += len(reqs)
+            self.stats["batches"] += 1
+
+    def submit(self, question: str, history: str = "",
+               caption: Optional[str] = None,
+               features: Optional[np.ndarray] = None,
+               audio: Optional[np.ndarray] = None,
+               timeout: float = 60.0) -> str:
+        r = Request(
+            question=self.responder.tokenize(question),
+            history=self.responder.tokenize(history) if history
+            else np.array([PAD], np.int32),
+            caption=self.responder.tokenize(caption) if caption is not None
+            else None,
+            features=features, audio=audio)
+        self._q.put(r)
+        if not r._event.wait(timeout):
+            raise TimeoutError("response generation timed out")
+        return r._answer

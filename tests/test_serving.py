@@ -1,0 +1,64 @@
+"""Serving runtime: dynamic batching correctness + concurrency."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from bist_tpu.config import GenerateConfig, ModelConfig
+from bist_tpu.models.model import init_model
+from bist_tpu.serving import DynamicBatcher, Responder
+from bist_tpu.vocab import SPECIALS
+
+
+@pytest.fixture(scope="module")
+def served():
+    vocab = dict(SPECIALS)
+    for w in ("a the man is walking sitting what doing he yes no couch "
+              "dog cat room").split():
+        vocab[w] = len(vocab)
+    cfg = ModelConfig(vocab_size=len(vocab), nb_blocks=1, nb_venc_blocks=1,
+                      nb_cenc_blocks=1, d_model=16, att_h=2, dropout=0.0,
+                      include_caption="summary", separate_caption=True,
+                      ft_sizes=(8,))
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    gcfg = GenerateConfig(maxlen=4, beam=2, penalty=1.0, nbest=2)
+    responder = Responder(params, cfg, vocab, gcfg, max_batch=4,
+                          len_buckets=(8, 16), time_buckets=(8,))
+    responder.warmup(feature_shape=(4, 8), t_clips=8)
+    server = DynamicBatcher(responder, max_batch=4, max_wait_ms=20)
+    server.start()
+    yield server
+    server.stop()
+
+
+def test_single_request(served, rng):
+    fts = rng.standard_normal((5, 4, 8)).astype(np.float32)
+    ans = served.submit("what is he doing", history="a man is walking",
+                        caption="the man", features=fts)
+    assert isinstance(ans, str)
+
+
+def test_concurrent_requests_batched(served, rng):
+    answers = {}
+    errs = []
+
+    def worker(i):
+        try:
+            fts = rng.standard_normal((4 + i % 3, 4, 8)).astype(np.float32)
+            answers[i] = served.submit("what is he doing",
+                                       history="a man is walking",
+                                       caption="the dog", features=fts)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs
+    assert len(answers) == 8
+    assert served.stats["batches"] < 8   # coalescing happened
