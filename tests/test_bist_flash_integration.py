@@ -1,0 +1,53 @@
+"""Long-video path: the BiST temporal hop must route through the Pallas flash
+kernel when T crosses the dispatch threshold, with unchanged outputs.
+
+Runs in interpret mode on CPU (monkeypatched threshold + interpret flag)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import bist_tpu.models.layers as L
+from bist_tpu.config import ModelConfig
+from bist_tpu.models import bist
+from bist_tpu.models.bist import temporal2spatial, vid_layer_init
+from bist_tpu.models.layers import layer_norm
+
+
+def test_t2s_hop_uses_flash_at_large_T(rng, monkeypatch):
+    cfg = ModelConfig(vocab_size=10, nb_blocks=2, nb_venc_blocks=2,
+                      nb_cenc_blocks=0, d_model=16, att_h=2, dropout=0.0,
+                      ft_sizes=(8,), include_caption="none",
+                      enc_vc_combine="none")
+    p = vid_layer_init(jax.random.PRNGKey(0), cfg)
+    B, Lq, T, S = 1, 4, 64, 3
+    x = jnp.asarray(rng.standard_normal((B, Lq, 16)), jnp.float32)
+    grid = jnp.asarray(rng.standard_normal((B, T, S, 16)), jnp.float32)
+    tmask = jnp.ones((B, 1, T), jnp.int32).at[:, :, T // 2:].set(0)
+
+    baseline = temporal2spatial(p, cfg, x, grid, tmask, None)
+
+    # force the flash path for the temporal hop (kv = T ≥ threshold) in
+    # interpret mode (no TPU needed)
+    calls = {"n": 0}
+    import importlib
+
+    # bist_tpu.ops re-exports the function under the submodule's name, so
+    # plain `import bist_tpu.ops.flash_attention` resolves to the function
+    fa_mod = importlib.import_module("bist_tpu.ops.flash_attention")
+    real_flash = fa_mod.flash_attention
+
+    def counting_flash(*a, **kw):
+        calls["n"] += 1
+        kw["interpret"] = True
+        return real_flash(*a, **kw)
+
+    monkeypatch.setattr(L, "FLASH_MIN_KV", 32)
+    monkeypatch.setattr(fa_mod, "flash_attention", counting_flash)
+
+    flashed = temporal2spatial(p, cfg, x, grid, tmask, None)
+    assert calls["n"] >= 1, "flash path not taken at T >= threshold"
+    np.testing.assert_allclose(np.asarray(flashed), np.asarray(baseline),
+                               rtol=2e-4, atol=2e-4)
