@@ -59,7 +59,8 @@ def _bn_identity(c):
     return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
 
 
-def init_resnext101(key: jax.Array, in_ch: int = 3) -> Params:
+def init_resnext101(key: jax.Array, in_ch: int = 3,
+                    n_classes: int = 0) -> Params:
     keys = jax.random.split(key, 128)
     ki = iter(range(128))
     p: Params = {
@@ -89,6 +90,9 @@ def init_resnext101(key: jax.Array, in_ch: int = 3) -> Params:
             stage.append(blk)
             c_in = c_out
         p["stages"].append(stage)
+    if n_classes > 0:
+        p["fc"] = {"w": _conv_init(keys[127], (c_in, n_classes)),
+                   "b": jnp.zeros((n_classes,))}
     return p
 
 
@@ -153,6 +157,12 @@ def resnext101_apply(params: Params, clips: jnp.ndarray,
         N, h, w, c = x.shape
         return x.reshape(N, h * w, c)
     x = jnp.mean(x, axis=(1, 2, 3))
+    if mode == "score" and "fc" in params:
+        # classification mode (reference main.py --mode score): Kinetics-400
+        # class logits per clip
+        from bist_tpu.models.layers import linear
+
+        return linear(params["fc"], x)
     return x
 
 
@@ -207,6 +217,9 @@ def load_torch_resnext(ckpt_path: str) -> Params:
             stage.append(blk)
             c_in = c_out
         p["stages"].append(stage)
+    if "fc.weight" in sd:
+        p["fc"] = {"w": jnp.asarray(sd["fc.weight"].numpy().T.copy()),
+                   "b": jnp.asarray(sd["fc.bias"].numpy().copy())}
     return p
 
 

@@ -100,9 +100,12 @@ def main(argv=None):
         params = init_resnext101(jax.random.PRNGKey(0))
         print("WARNING: random init (no --model checkpoint)")
 
-    mode = "spatio_temporal" if args.spatio_temporal else "temporal_only"
-    if args.temporal_only:
-        mode = "temporal_only"
+    if args.mode == "score":
+        mode = "score"
+    else:
+        mode = "spatio_temporal" if args.spatio_temporal else "temporal_only"
+        if args.temporal_only:
+            mode = "temporal_only"
     apply_fn = jax.jit(lambda p, c: resnext101_apply(p, c, mode=mode))
 
     entries = sorted(
@@ -127,6 +130,19 @@ def main(argv=None):
             feats = extract_video_features(
                 params, frames, stride=args.stride,
                 batch_size=args.batch_size, mode=mode, apply_fn=apply_fn)
+            if mode == "score":
+                # classification output (reference --mode score): per-clip
+                # top-5 Kinetics class ids + scores as json
+                top = np.argsort(-feats, axis=-1)[:, :5]
+                out_json = os.path.join(args.output, vid + ".json")
+                with open(out_json, "w") as f:
+                    json.dump({"video": vid, "clips": [
+                        {"top5": [int(c) for c in row],
+                         "scores": [float(feats[k, c]) for c in row]}
+                        for k, row in enumerate(top)]}, f, indent=1)
+                print(f"[{i + 1}/{len(entries)}] {vid}: scored "
+                      f"{feats.shape[0]} clips")
+                continue
             np.save(out_path, feats)
             print(f"[{i + 1}/{len(entries)}] {vid}: {feats.shape}")
         except Exception as e:  # match the reference's per-video resilience
