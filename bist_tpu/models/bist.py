@@ -91,6 +91,28 @@ def _self_attn_sublayer(p: Params, h: int, x: jnp.ndarray, mask, drop: float,
             drop_rate=drop, rngs=rngs), drop, rngs)
 
 
+# kv length at which the fully-fused hop-1 Pallas kernel (K/V projection +
+# attention + out projection in VMEM, ops/bist_kernels.py) beats XLA on v5e
+HOP1_FUSED_MIN_KV = 2048
+
+
+def _hop1(p_hop: Params, h: int, drop: float, rngs, x: jnp.ndarray,
+          kv_groups: jnp.ndarray, mask) -> jnp.ndarray:
+    """Hop-1 with dispatch: x (B,Lq,D), kv_groups (B,G,Lk,D), mask (B,1,Lk)
+    → x[:,None] + MHA(LN(x), kv, kv) of shape (B,G,Lq,D)."""
+    normed = layer_norm(p_hop["norm"], x)
+    if rngs is None and kv_groups.shape[2] >= HOP1_FUSED_MIN_KV:
+        from bist_tpu.models.layers import linear
+        from bist_tpu.ops.bist_kernels import bist_hop1_fused
+
+        return bist_hop1_fused(x, linear(p_hop["attn"]["wq"], normed),
+                               kv_groups, p_hop["attn"], h, mask)
+    attn_out = mha(p_hop["attn"], h, normed[:, None], kv_groups, kv_groups,
+                   mask=None if mask is None else mask[:, None],
+                   drop_rate=drop, rngs=rngs)
+    return x[:, None] + dropout(attn_out, drop, rngs)
+
+
 def temporal2spatial(p: Params, cfg: ModelConfig, x: jnp.ndarray,
                      grid: jnp.ndarray, temporal_mask: jnp.ndarray,
                      rngs: Optional[RngGen]) -> jnp.ndarray:
@@ -103,15 +125,10 @@ def temporal2spatial(p: Params, cfg: ModelConfig, x: jnp.ndarray,
 
     # Hop 1: per spatial region, attend the query along the T axis.
     # Reference: reshape grid to (B·S, T, D) and expand the query S times;
-    # here the projection runs once and broadcasting happens in the einsum.
+    # here the projection runs once and broadcasting happens in the einsum
+    # (or the fused Pallas kernel for long T).
     grid_s = jnp.swapaxes(grid, 1, 2)                       # (B, S, T, D)
-    normed = layer_norm(p["t2s_hop1"]["norm"], x)           # (B, Lq, D)
-    attn_out = mha(p["t2s_hop1"]["attn"], h,
-                   normed[:, None],                          # (B, 1, Lq, D)
-                   grid_s, grid_s,
-                   mask=temporal_mask[:, None],              # (B, 1, 1, T)
-                   drop_rate=drop, rngs=rngs)                # (B, S, Lq, D)
-    t_out = x[:, None] + dropout(attn_out, drop, rngs)       # broadcast residual
+    t_out = _hop1(p["t2s_hop1"], h, drop, rngs, x, grid_s, temporal_mask)
 
     # Hop 2: per query token, attend over its S per-region summaries.
     per_tok = jnp.swapaxes(t_out, 1, 2)                      # (B, Lq, S, D)
@@ -134,12 +151,7 @@ def spatial2temporal(p: Params, cfg: ModelConfig, x: jnp.ndarray,
 
     # Hop 1: per temporal step, attend the query along the S axis (no mask —
     # spatial positions are always valid, encoder.py:150).
-    normed = layer_norm(p["s2t_hop1"]["norm"], x)
-    attn_out = mha(p["s2t_hop1"]["attn"], h,
-                   normed[:, None],                          # (B, 1, Lq, D)
-                   grid, grid, mask=None,
-                   drop_rate=drop, rngs=rngs)                # (B, T, Lq, D)
-    s_out = x[:, None] + dropout(attn_out, drop, rngs)
+    s_out = _hop1(p["s2t_hop1"], h, drop, rngs, x, grid, None)
 
     # Hop 2: per query token, attend over the T per-step summaries with the
     # temporal validity mask (encoder.py:155-165).

@@ -1,0 +1,64 @@
+"""Fused BiST hop-1 kernel vs einsum reference (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bist_tpu.models.layers import layer_norm, layer_norm_init, linear, mha_init
+from bist_tpu.ops.bist_kernels import bist_hop1_fused, hop1_reference
+
+
+@pytest.mark.parametrize("B,G,Lq,Lk,D,h", [
+    (2, 4, 5, 7, 32, 2),       # t2s-like: G=S small, unaligned everything
+    (1, 3, 12, 130, 128, 8),   # s2t-like at flagship width, Lk > 128
+])
+def test_fused_hop1_matches_reference(B, G, Lq, Lk, D, h, rng):
+    p = mha_init(jax.random.PRNGKey(0), h, D)
+    x = jnp.asarray(rng.standard_normal((B, Lq, D)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((B, G, Lk, D)), jnp.float32)
+    mask = jnp.asarray(
+        (rng.uniform(size=(B, 1, Lk)) > 0.25).astype(np.int32))
+    mask = mask.at[:, :, 0].set(1)
+    q_proj = linear(p["wq"], x)
+
+    ref = hop1_reference(x, q_proj, kv, p, h, mask)
+    out = bist_hop1_fused(x, q_proj, kv, p, h, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    # no-mask variant
+    ref2 = hop1_reference(x, q_proj, kv, p, h, None)
+    out2 = bist_hop1_fused(x, q_proj, kv, p, h, None, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_hop1_matches_model_path(rng):
+    """The kernel must equal the actual models.bist hop-1 computation
+    (normed q, raw kv, broadcast residual)."""
+    from bist_tpu.config import ModelConfig
+    from bist_tpu.models.bist import vid_layer_init
+
+    cfg = ModelConfig(vocab_size=10, nb_blocks=1, nb_venc_blocks=1,
+                      d_model=32, att_h=4, dropout=0.0, ft_sizes=(8,),
+                      include_caption="none", enc_vc_combine="none")
+    p = vid_layer_init(jax.random.PRNGKey(1), cfg)["t2s_hop1"]
+    B, T, S, D = 2, 6, 4, 32
+    x = jnp.asarray(rng.standard_normal((B, 5, D)), jnp.float32)
+    grid = jnp.asarray(rng.standard_normal((B, T, S, D)), jnp.float32)
+    tmask = jnp.ones((B, 1, T), jnp.int32).at[:, :, 4:].set(0)
+
+    normed = layer_norm(p["norm"], x)
+    q_proj = linear(p["attn"]["wq"], normed)
+    grid_s = jnp.swapaxes(grid, 1, 2)               # (B, S, T, D)
+    fused = bist_hop1_fused(x, q_proj, grid_s, p["attn"], cfg.att_h,
+                            tmask, interpret=True)
+
+    from bist_tpu.models.layers import mha
+    attn_out = mha(p["attn"], cfg.att_h, normed[:, None], grid_s, grid_s,
+                   mask=tmask[:, None], drop_rate=0.0, rngs=None)
+    expected = x[:, None] + attn_out
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
