@@ -58,6 +58,10 @@ def main(argv=None):
     import jax
     import numpy as np
 
+    from bist_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from bist_tpu.config import GenerateConfig, load_conf
     from bist_tpu.data.avsd import load_avsd
     from bist_tpu.data.features import build_stores

@@ -75,12 +75,15 @@ def main():
                 rng.standard_normal((T, args.spatial, args.ft_dim))
                 .astype(np.float32))
     if args.audio:
-        adir = os.path.join(args.out_dir, "vggish")
-        os.makedirs(adir, exist_ok=True)
-        for vid in vids:
-            T = int(rng.integers(4, 12))
-            np.save(os.path.join(adir, vid + ".npy"),
-                    rng.standard_normal((T, 128)).astype(np.float32))
+        # both dirs: training reads 'vggish', generation's test-time override
+        # reads 'vggish_testset' (reference generate.py:101-104)
+        for dname in ("vggish", "vggish_testset"):
+            adir = os.path.join(args.out_dir, dname)
+            os.makedirs(adir, exist_ok=True)
+            for vid in vids:
+                T = int(rng.integers(4, 12))
+                np.save(os.path.join(adir, vid + ".npy"),
+                        rng.standard_normal((T, 128)).astype(np.float32))
     print(f"wrote synthetic AVSD data to {args.out_dir} ({len(vids)} videos)")
 
 

@@ -98,6 +98,10 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    from bist_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from bist_tpu.config import (GenerateConfig, ModelConfig, TrainConfig,
                                  save_conf)
     from bist_tpu.data.avsd import load_avsd
