@@ -55,13 +55,20 @@ class BeamResult(NamedTuple):
 
 def beam_search(params, cfg: ModelConfig, batch: Batch,
                 gcfg: GenerateConfig) -> BeamResult:
-    """Run beam search for every row of `batch` simultaneously."""
+    """Run beam search for every row of `batch` simultaneously.
+
+    `params` may be a single params pytree or a LIST of pytrees (same cfg):
+    ensemble decoding sums per-model log-probs per step — the semantics of
+    the reference's (dead) ensemble_beam_search_decode (decode.py:149-151),
+    made to work."""
     K, maxlen, nbest = gcfg.beam, gcfg.maxlen, gcfg.nbest
     B = batch.query.shape[0]
+    params_list = params if isinstance(params, (list, tuple)) else [params]
+    M = len(params_list)
 
-    ctx = precompute_decode_ctx(params, cfg, batch)
-    ctx_t = _tile_for_beam(ctx, K)
-    cache = init_cache(cfg, B * K, maxlen + 1)
+    ctxs = [_tile_for_beam(precompute_decode_ctx(p, cfg, batch), K)
+            for p in params_list]
+    caches = [init_cache(cfg, B * K, maxlen + 1) for _ in params_list]
 
     tokens0 = jnp.full((B, K, maxlen + 1), PAD, jnp.int32).at[:, :, 0].set(SOS)
     scores0 = jnp.full((B, K), NEG, jnp.float32).at[:, 0].set(0.0)
@@ -73,10 +80,16 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
     pos_range = jnp.arange(maxlen)
 
     def step(carry, l):
-        tokens, scores, cache, comp_tokens, comp_scores, comp_lens = carry
+        tokens, scores, caches, comp_tokens, comp_scores, comp_lens = carry
         cur = jax.lax.dynamic_index_in_dim(tokens, l, axis=2, keepdims=False)
-        logp, cache = decode_step(params, cfg, ctx_t, cache,
-                                  cur.reshape(B * K), l)
+        logp = 0.0
+        new_caches = []
+        for p, ctx_t, cache in zip(params_list, ctxs, caches):
+            lp_m, cache = decode_step(p, cfg, ctx_t, cache,
+                                      cur.reshape(B * K), l)
+            logp = logp + lp_m
+            new_caches.append(cache)
+        caches = tuple(new_caches)
         lp = scores[:, :, None] + logp.reshape(B, K, V)      # (B, K, V)
 
         # --- completion candidates (decode.py:73-77) ---
@@ -113,12 +126,14 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
                 c, parent[None, :, :, None, None, None], axis=2)
             return c.reshape((cfg.nb_blocks, B * K) + c.shape[3:])
 
-        cache = DecodeCache(k=regroup(cache.k), v=regroup(cache.v))
-        return (tokens, new_scores, cache, comp_tokens, comp_scores,
+        caches = tuple(DecodeCache(k=regroup(c.k), v=regroup(c.v))
+                       for c in caches)
+        return (tokens, new_scores, caches, comp_tokens, comp_scores,
                 comp_lens), None
 
-    carry0 = (tokens0, scores0, cache, comp_tokens0, comp_scores0, comp_lens0)
-    (tokens, scores, cache, comp_tokens, comp_scores, comp_lens), _ = \
+    carry0 = (tokens0, scores0, tuple(caches), comp_tokens0, comp_scores0,
+              comp_lens0)
+    (tokens, scores, _, comp_tokens, comp_scores, comp_lens), _ = \
         jax.lax.scan(step, carry0, jnp.arange(maxlen))
     return BeamResult(tokens=comp_tokens, scores=comp_scores, lengths=comp_lens)
 

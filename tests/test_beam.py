@@ -105,3 +105,34 @@ def test_greedy_decode_runs(rng):
     out = greedy_decode(params, cfg, batch, maxlen=6)
     assert out.shape == (2, 6)
     assert np.all(np.asarray(out) >= 0)
+
+
+def test_ensemble_reduces_to_single(rng):
+    """An ensemble of the same model twice sums per-model log-probs
+    (ref decode.py:149-151 semantics).  With penalty=0 every score doubles,
+    so hypotheses are identical and scores exactly 2×.  (With penalty>0 the
+    un-doubled length bonus legitimately reorders completions.)"""
+    cfg = tiny_cfg()
+    gcfg = GenerateConfig(maxlen=4, beam=3, penalty=0.0, nbest=3)
+    batch = tiny_batch(rng)
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    single = beam_search(params, cfg, batch, gcfg)
+    double = beam_search([params, params], cfg, batch, gcfg)
+    np.testing.assert_array_equal(np.asarray(single.tokens),
+                                  np.asarray(double.tokens))
+    np.testing.assert_array_equal(np.asarray(single.lengths),
+                                  np.asarray(double.lengths))
+    np.testing.assert_allclose(np.asarray(double.scores),
+                               2.0 * np.asarray(single.scores),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_ensemble_distinct_models_runs(rng):
+    cfg = tiny_cfg()
+    gcfg = GenerateConfig(maxlen=4, beam=2, penalty=1.0, nbest=2)
+    batch = tiny_batch(rng)
+    p1 = init_model(jax.random.PRNGKey(3), cfg)
+    p2 = init_model(jax.random.PRNGKey(4), cfg)
+    res = beam_search([p1, p2], cfg, batch, gcfg)
+    assert res.tokens.shape == (2, 2, 4)
+    assert np.all(np.isfinite(np.asarray(res.scores)))
