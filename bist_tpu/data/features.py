@@ -135,10 +135,12 @@ class FeatureStore:
 
 
 def build_stores(fea_types: Optional[Sequence[str]], fea_path_template: str,
-                 vids: Sequence[str], skip: int = 1,
+                 vids: Sequence[str], skip: int = 1, workers: int = 4,
                  ) -> Tuple[List[FeatureStore], List[FeatureStore]]:
     """Returns (visual_stores, audio_stores).  fea_types of None / ['none']
-    yields no stores (text-only, data_handler.py:112-114)."""
+    yields no stores (text-only, data_handler.py:112-114).  `workers` sizes
+    the per-store prefetch pool (the --num-workers CLI flag; the native
+    batch assembler uses its own C++ thread pool)."""
     visual: List[FeatureStore] = []
     audio: List[FeatureStore] = []
     if not fea_types or fea_types[0] == "none":
@@ -146,7 +148,8 @@ def build_stores(fea_types: Optional[Sequence[str]], fea_path_template: str,
     for ftype in fea_types:
         if ftype == "none":
             continue
-        store = FeatureStore(ftype, fea_path_template, skip=skip)
+        store = FeatureStore(ftype, fea_path_template, skip=skip,
+                             workers=max(workers, 1))
         store.register(vids)
         (audio if store.is_audio else visual).append(store)
     return visual, audio

@@ -41,6 +41,9 @@ def build_parser():
     # TPU additions
     p.add_argument("--gen-batch-size", default=32, type=int)
     p.add_argument("--device", default="", type=str, help="'cpu' forces CPU")
+    p.add_argument("--ensemble", nargs="*", default=None,
+                   help="additional model checkpoint dirs to ensemble with "
+                        "--model (summed log-probs; all share --model-conf)")
     return p
 
 
@@ -77,11 +80,17 @@ def main(argv=None):
     id2word = make_id2word(vocab)
     logging.info("#vocab = %d", len(vocab))
 
-    payload = load_checkpoint(args.model + "_best"
-                              if os.path.isdir(args.model + "_best")
-                              else args.model)
     import jax.numpy as jnp
-    params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+
+    def _load(path):
+        payload = load_checkpoint(path + "_best" if os.path.isdir(path + "_best")
+                                  else path)
+        return jax.tree_util.tree_map(jnp.asarray, payload["params"])
+
+    params = _load(args.model)
+    if args.ensemble:
+        params = [params] + [_load(p) for p in args.ensemble]
+        logging.info("ensembling %d models", len(params))
 
     # Feature-type override at test time (reference generate.py:101-104):
     # resnext_st (+ vggish_testset when the model was trained with vggish).
@@ -99,7 +108,8 @@ def main(argv=None):
                           merge_source=tcfg.merge_source,
                           undisclosed_only=bool(args.undisclosed_only))
     vis_stores, aud_stores = build_stores(fea_type, args.test_path,
-                                          test_data.vid_set, skip=tcfg.skip)
+                                          test_data.vid_set, skip=tcfg.skip,
+                                          workers=max(args.num_workers, 1))
     loader = AVSDLoader(test_data, visual_stores=vis_stores,
                         audio_stores=aud_stores,
                         batch_size=args.gen_batch_size, shuffle=False,

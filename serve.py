@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""HTTP serving entry point: a JSON API over the dynamic-batching responder.
+
+    python serve.py --model exps/mtn --port 8000 [--device cpu]
+
+    POST /respond   {"question": "...", "history": "...", "caption": "...",
+                     "features": [[...]] optional (T, S, Dv) nested lists
+                     or "features_b64": base64 of float32 .npy bytes}
+    → {"answer": "...", "latency_ms": ...}
+
+    GET /healthz    → {"ok": true, "stats": {...}}
+
+Concurrent requests are coalesced into one compiled beam-search batch
+(bist_tpu.serving.DynamicBatcher)."""
+
+import argparse
+import base64
+import io
+import json
+import logging
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True)
+    p.add_argument("--model-conf", default="")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--max-wait-ms", type=float, default=10.0)
+    p.add_argument("--beam", type=int, default=5)
+    p.add_argument("--maxlen", type=int, default=12)
+    p.add_argument("--penalty", type=float, default=1.0)
+    p.add_argument("--device", default="")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s: %(message)s")
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from bist_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import os
+
+    from bist_tpu.config import GenerateConfig, load_conf
+    from bist_tpu.serving import DynamicBatcher, Responder
+    from bist_tpu.train.checkpoint import load_checkpoint
+
+    conf = args.model_conf or (args.model + ".conf")
+    vocab, cfg, tcfg, _ = load_conf(conf)
+    ckpt = args.model + "_best" if os.path.isdir(args.model + "_best") \
+        else args.model
+    payload = load_checkpoint(ckpt)
+    params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+
+    gcfg = GenerateConfig(maxlen=args.maxlen, beam=args.beam,
+                          penalty=args.penalty, nbest=1)
+    responder = Responder(params, cfg, vocab, gcfg, max_batch=args.max_batch)
+    logging.info("warmup compile...")
+    responder.warmup()
+    server_b = DynamicBatcher(responder, max_batch=args.max_batch,
+                              max_wait_ms=args.max_wait_ms)
+    server_b.start()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True, "stats": server_b.stats})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/respond":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                features = None
+                if "features_b64" in req:
+                    raw = base64.b64decode(req["features_b64"])
+                    features = np.load(io.BytesIO(raw), allow_pickle=False)
+                elif "features" in req and req["features"] is not None:
+                    features = np.asarray(req["features"], np.float32)
+                if features is None and cfg.has_video:
+                    self._send(400, {"error": "model requires features"})
+                    return
+                t0 = time.time()
+                answer = server_b.submit(
+                    req["question"], history=req.get("history", ""),
+                    caption=req.get("caption"), features=features)
+                self._send(200, {"answer": answer,
+                                 "latency_ms": (time.time() - t0) * 1e3})
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+
+        def log_message(self, fmt, *a):
+            logging.debug(fmt, *a)
+
+    httpd = ThreadingHTTPServer((args.host, args.port), Handler)
+    logging.info("serving on %s:%d", args.host, args.port)
+    try:
+        httpd.serve_forever()
+    finally:
+        server_b.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -136,7 +136,8 @@ def main(argv=None):
                            merge_source=bool(args.merge_source))
 
     vis_stores, aud_stores = build_stores(args.fea_type, args.train_path,
-                                          train_data.vid_set, skip=args.skip)
+                                          train_data.vid_set, skip=args.skip,
+                                          workers=max(args.num_workers, 1))
     for s in vis_stores + aud_stores:
         s.register(valid_data.vid_set)
     ft_sizes = tuple(feature_shape(vis_stores) + feature_shape(aud_stores))
