@@ -28,18 +28,27 @@ def sent(rng, lo=4, hi=12):
     return " ".join(rng.choice(WORDS, rng.integers(lo, hi)))
 
 
-def make_split(rng, n_dialogs, n_turns, vid_prefix, undisclosed=False):
+def make_split(rng, n_dialogs, n_turns, vid_prefix, undisclosed=False,
+               copy_task=False):
+    """copy_task: answers are deterministically the first 4 words of the
+    dialog's summary — a learnable rule that specifically exercises the
+    multi-pointer generator's caption-copy path."""
     dialogs = []
     for d in range(n_dialogs):
+        summary = sent(rng, 6, 12)
         turns = []
         for t in range(n_turns):
-            ans = "__UNDISCLOSED__" if (undisclosed and t == n_turns - 1) \
-                else sent(rng, 3, 9)
+            if undisclosed and t == n_turns - 1:
+                ans = "__UNDISCLOSED__"
+            elif copy_task:
+                ans = " ".join(summary.split()[:4])
+            else:
+                ans = sent(rng, 3, 9)
             turns.append({"question": sent(rng, 4, 10), "answer": ans})
         dialogs.append({
             "image_id": f"{vid_prefix}{d:04d}",
             "caption": sent(rng, 8, 16),
-            "summary": sent(rng, 6, 12),
+            "summary": summary,
             "dialog": turns,
         })
     return {"dialogs": dialogs, "type": "synthetic", "version": "1.0"}
@@ -53,19 +62,54 @@ def main():
     p.add_argument("--ft-dim", type=int, default=256)
     p.add_argument("--spatial", type=int, default=16)
     p.add_argument("--audio", action="store_true")
+    p.add_argument("--copy-task", action="store_true",
+                   help="answers = first 4 words of the summary (learnable)")
+    p.add_argument("--separate-splits", action="store_true",
+                   help="distinct dialogs per split (instead of the tiny "
+                        "shared-video test_mode layout)")
+    p.add_argument("--multiref", action="store_true",
+                   help="also write test_multiref.json (COCO format) for "
+                        "evaluate.py --reference")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.out_dir, exist_ok=True)
     vids = []
-    for name, undisc in (("train_test", False), ("valid_test", False),
-                         ("test_test", False)):
-        split = make_split(rng, args.n_dialogs, args.n_turns, "SYN",
-                           undisclosed=undisc)
+    splits = {}
+    for i, (name, undisc) in enumerate((("train_test", False),
+                                        ("valid_test", False),
+                                        ("test_test", False))):
+        prefix = f"SYN{i}" if args.separate_splits else "SYN"
+        n = args.n_dialogs if (args.separate_splits and i == 0) \
+            else (max(args.n_dialogs // 4, 2) if args.separate_splits
+                  else args.n_dialogs)
+        split = make_split(rng, n, args.n_turns, prefix,
+                           undisclosed=undisc, copy_task=args.copy_task)
+        splits[name] = split
         with open(os.path.join(args.out_dir, name + ".json"), "w") as f:
             json.dump(split, f, indent=1)
-        vids = [d["image_id"] for d in split["dialogs"]]
+        if args.separate_splits:
+            # also write without the "_test" marker: full-size splits (the
+            # loader caps *_test.json files at 100 QA, data_handler.py:108)
+            full = name.split("_")[0] + ".json"
+            with open(os.path.join(args.out_dir, full), "w") as f:
+                json.dump(split, f, indent=1)
+        vids.extend(d["image_id"] for d in split["dialogs"])
+    vids = sorted(set(vids))
+
+    if args.multiref:
+        # COCO-format ground truth over the test split's LAST turns, ids in
+        # dialog order (matching evalkit.get_hypotheses -l numbering)
+        anns, imgs = [], []
+        for i, d in enumerate(splits["test_test"]["dialogs"], start=1):
+            imgs.append({"name": f"{d['image_id']}_{args.n_turns - 1}",
+                         "id": i})
+            anns.append({"image_id": i, "id": i,
+                         "caption": d["dialog"][-1]["answer"]})
+        with open(os.path.join(args.out_dir, "test_multiref.json"), "w") as f:
+            json.dump({"info": {}, "licenses": [], "images": imgs,
+                       "type": "captions", "annotations": anns}, f, indent=1)
 
     ftdir = os.path.join(args.out_dir, "resnext_st")
     os.makedirs(ftdir, exist_ok=True)
