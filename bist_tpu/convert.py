@@ -17,15 +17,13 @@ map to our named slots in wiring order (encoder.py:172-199, decoder.py:20-58).
 
 from __future__ import annotations
 
-import os
 import pickle
 import sys
-import types
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from bist_tpu.config import ModelConfig, TrainConfig
+from bist_tpu.config import ModelConfig
 
 
 def _np(x) -> np.ndarray:

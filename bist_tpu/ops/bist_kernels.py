@@ -31,7 +31,6 @@ Layout notes (guide: pallas_guide.md):
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 

@@ -24,7 +24,6 @@ softmax — the same semantics as models.layers.attention_weights
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 
