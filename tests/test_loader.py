@@ -74,3 +74,23 @@ def test_loader_epoch_coverage_shuffled(dataset):
         ids2.extend(meta.qa_ids)
     assert sorted(ids2) == list(range(10))
     assert ids != ids2   # reshuffled across epochs
+
+
+def test_rgb_eager_skip(tmp_path, rng):
+    """'rgb'-type features load eagerly with [::skip] subsampling
+    (reference data_handler.py:122-125)."""
+    ftdir = tmp_path / "i3d_rgb"
+    ftdir.mkdir()
+    arr = rng.standard_normal((10, 16)).astype(np.float32)
+    np.save(ftdir / "v0.npy", arr)
+    s = FeatureStore("i3d_rgb", str(tmp_path / "<FeaType>/<ImageID>.npy"),
+                     skip=2)
+    s.register(["v0"])
+    assert s.eager and not s.is_audio
+    got = s.get("v0")
+    np.testing.assert_array_equal(got, arr[::2])
+    # batched path honors the subsampling too
+    batch = s.get_batch(["v0"], t_pad=8)
+    assert batch.shape == (1, 8, 16)
+    np.testing.assert_array_equal(batch[0, :5], arr[::2])
+    np.testing.assert_array_equal(batch[0, 5:], 0.0)
