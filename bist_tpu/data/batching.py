@@ -34,8 +34,25 @@ class Batch(NamedTuple):
     trg: np.ndarray              # (B, Lt) int32   — answer_in
     trg_y: np.ndarray            # (B, Lt) int32   — answer_out
     cap: Optional[np.ndarray] = None        # (B, Lc) int32
-    fts: Optional[np.ndarray] = None        # (B, T, S, Dv) float
+    fts: Optional[np.ndarray] = None        # (B, T, S, Dv) float (or int8
+                                            #  with fts_scale set)
     audio_fts: Optional[np.ndarray] = None  # (B, Ta, Da) float
+    fts_scale: Optional[np.ndarray] = None  # (B, T, S, 1) f32 — per-position
+                                            #  dequant scale for int8 fts
+
+
+def quantize_features(fts: np.ndarray):
+    """Symmetric per-position int8 quantisation of a (B, T, S, D) grid.
+
+    4× less host→device traffic for serving/generation; the model
+    dequantises on device (models.model.encode).  Returns (int8, scale)
+    where scale is (B, T, S, 1) f32 and zero rows stay exactly zero (the
+    temporal/spatial validity masks still see true zeros)."""
+    amax = np.max(np.abs(fts), axis=-1, keepdims=True)
+    scale = (amax / 127.0).astype(np.float32)
+    safe = np.where(scale > 0, scale, 1.0)
+    q = np.clip(np.round(fts / safe), -127, 127).astype(np.int8)
+    return q, scale
 
 
 class BatchMeta(NamedTuple):

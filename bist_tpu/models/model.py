@@ -82,8 +82,19 @@ def build_masks(cfg: ModelConfig, batch: Batch) -> Dict[str, Optional[jnp.ndarra
     masks["trg_mask"] = trg_pad & subsequent_mask(batch.trg.shape[-1])
     if batch.fts is not None:
         f = batch.fts
-        masks["spatial_mask"] = (jnp.sum(f, axis=(1, 3)) != 0)[:, None, :].astype(jnp.int32)
-        masks["temporal_mask"] = (jnp.sum(f, axis=(2, 3)) != 0)[:, None, :].astype(jnp.int32)
+        if jnp.issubdtype(f.dtype, jnp.integer):
+            # int8-quantised features: |max| avoids integer-sum overflow;
+            # zero padding stays exactly zero through quantisation
+            a = jnp.abs(f).astype(jnp.int32)
+            masks["spatial_mask"] = (jnp.max(a, axis=(1, 3)) != 0)[:, None, :] \
+                .astype(jnp.int32)
+            masks["temporal_mask"] = (jnp.max(a, axis=(2, 3)) != 0)[:, None, :] \
+                .astype(jnp.int32)
+        else:
+            masks["spatial_mask"] = (jnp.sum(f, axis=(1, 3)) != 0)[:, None, :] \
+                .astype(jnp.int32)
+            masks["temporal_mask"] = (jnp.sum(f, axis=(2, 3)) != 0)[:, None, :] \
+                .astype(jnp.int32)
     else:
         masks["spatial_mask"] = masks["temporal_mask"] = None
     if batch.audio_fts is not None:
@@ -136,7 +147,10 @@ def encode(params: Params, cfg: ModelConfig, batch: Batch,
 
     adt = activation_dtype(cfg)
     if cfg.has_video and batch.fts is not None:
-        v = jax.nn.relu(linear(params["vid_enc"]["W"], batch.fts.astype(adt)))
+        fts = batch.fts
+        if batch.fts_scale is not None:       # int8 transfer → dequant on device
+            fts = fts.astype(adt) * batch.fts_scale.astype(adt)
+        v = jax.nn.relu(linear(params["vid_enc"]["W"], fts.astype(adt)))
         ft["video_grid"] = layer_norm(params["vid_enc"]["in_norm"], v)
     if cfg.has_audio and batch.audio_fts is not None:
         a = jax.nn.relu(linear(params["vid_enc"]["a_W"],
