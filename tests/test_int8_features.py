@@ -27,7 +27,7 @@ def test_masks_match_between_f32_and_int8(rng):
     cfg = ModelConfig(vocab_size=30, nb_blocks=1, nb_venc_blocks=1,
                       d_model=16, att_h=2, ft_sizes=(16,),
                       include_caption="none", nb_cenc_blocks=0,
-                      enc_vc_combine="none")
+                      enc_vc_combine="none", ptr_ft="query")
     fts = rng.standard_normal((2, 4, 3, 16)).astype(np.float32)
     fts[:, 2:] = 0.0
     toks = rng.integers(4, 30, size=(2, 5)).astype(np.int32)
