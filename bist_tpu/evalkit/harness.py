@@ -56,7 +56,11 @@ class StopwordFilter:
         return " ".join(out)
 
 
-DEFAULT_STOPWORDS = [(",", ""), (r"\.", "")]
+# The reference's stopwords.txt contains raw "," and "." — and "." compiled
+# as ^.$ matches ANY single character, so EVERY one-char token is dropped
+# (e.g. "a").  The golden .eval scores embed this behaviour; the default must
+# reproduce it, not an escaped literal dot.
+DEFAULT_STOPWORDS = [(",", ""), (".", "")]
 
 
 def get_hypotheses(result: dict, last_only: bool = True,
