@@ -31,6 +31,7 @@ Layout notes (guide: pallas_guide.md):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -164,3 +165,40 @@ def hop1_reference(x, q_proj, kv, attn_params, h, mask=None):
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bghqk,bghkd->bghqd", p, V)
     return x[:, None] + linear(attn_params["wo"], merge_heads(o))
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: fused forward, reference backward (remat-style)
+
+
+def _hop1_flat(x, q_proj, kv, wk, bk, wv, bv, wo, bo, h, mask):
+    p = {"wk": {"w": wk, "b": bk}, "wv": {"w": wv, "b": bv},
+         "wo": {"w": wo, "b": bo}}
+    return hop1_reference(x, q_proj, kv, p, h, mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def hop1_trainable(x, q_proj, kv, wk, bk, wv, bv, wo, bo, h, mask=None):
+    """Differentiable fused hop-1: forward runs the Pallas kernel; backward
+    recomputes through the einsum reference (remat-style — one extra
+    reference forward instead of a bespoke backward kernel)."""
+    p = {"wk": {"w": wk, "b": bk}, "wv": {"w": wv, "b": bv},
+         "wo": {"w": wo, "b": bo}}
+    return bist_hop1_fused(x, q_proj, kv, p, h, mask)
+
+
+def _hop1_fwd(x, q_proj, kv, wk, bk, wv, bv, wo, bo, h, mask=None):
+    out = hop1_trainable(x, q_proj, kv, wk, bk, wv, bv, wo, bo, h, mask)
+    return out, (x, q_proj, kv, wk, bk, wv, bv, wo, bo, mask)
+
+
+def _hop1_bwd(h, res, g):
+    x, q_proj, kv, wk, bk, wv, bv, wo, bo, mask = res
+    _, vjp = jax.vjp(
+        lambda *a: _hop1_flat(*a, h=h, mask=mask),
+        x, q_proj, kv, wk, bk, wv, bv, wo, bo)
+    grads = vjp(g)
+    return grads + (None,)
+
+
+hop1_trainable.defvjp(_hop1_fwd, _hop1_bwd)

@@ -62,3 +62,40 @@ def test_fused_hop1_matches_model_path(rng):
     expected = x[:, None] + attn_out
     np.testing.assert_allclose(np.asarray(fused), np.asarray(expected),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_hop1_trainable_grads_match_reference(rng):
+    """Custom-VJP wrapper: fused forward, gradients equal to autodiff through
+    the einsum reference (interpret mode)."""
+    import functools
+    import bist_tpu.ops.bist_kernels as BK
+
+    h = 2
+    p = mha_init(jax.random.PRNGKey(0), h, 16)
+    x = jnp.asarray(rng.standard_normal((1, 3, 16)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((1, 2, 5, 16)), jnp.float32)
+    q_proj = linear(p["wq"], x)
+    mask = jnp.ones((1, 1, 5), jnp.int32).at[:, :, 3:].set(0)
+    args = (x, q_proj, kv, p["wk"]["w"], p["wk"]["b"], p["wv"]["w"],
+            p["wv"]["b"], p["wo"]["w"], p["wo"]["b"])
+
+    # interpret mode for the forward kernel on CPU
+    orig = BK.bist_hop1_fused
+    BK.bist_hop1_fused = functools.partial(orig, interpret=True)
+    try:
+        def loss_fused(*a):
+            return jnp.sum(jnp.square(BK.hop1_trainable(*a, h, mask)))
+
+        def loss_ref(*a):
+            return jnp.sum(jnp.square(BK._hop1_flat(*a, h=h, mask=mask)))
+
+        out_f = loss_fused(*args)
+        out_r = loss_ref(*args)
+        np.testing.assert_allclose(float(out_f), float(out_r), rtol=1e-4)
+        gf = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+        gr = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+    finally:
+        BK.bist_hop1_fused = orig
