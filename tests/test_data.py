@@ -144,3 +144,11 @@ def test_test_mode_cap(tmp_path):
     d = load_avsd(str(p), v)
     # cap: stops after the dialog that crosses 100 qa pairs (data_handler.py:108)
     assert len(d.examples) == 110
+
+
+def test_vocab_ptr_gen_keeps_all_words(avsd_json):
+    v_cut = get_vocabulary(avsd_json, cutoff=5)
+    v_all = get_vocabulary(avsd_json, cutoff=5, ptr_gen=True)
+    # ptr_gen ignores the cutoff entirely (data_handler.py:44-48)
+    assert len(v_all) > len(v_cut)
+    assert "animal" in v_all and "animal" not in v_cut
