@@ -56,6 +56,9 @@ CFG_VARIANTS = [
     {"nb_cenc_blocks": 0, "enc_vc_combine": "none"},      # no caption layers
     {"ptr_gen": False},
     {"ptr_ft": "query"},
+    {"ptr_ft": "query+cap"},               # single concat source (generator.py:52-56)
+    {"include_caption": "summary", "separate_caption": False,
+     "nb_cenc_blocks": 0, "enc_vc_combine": "none", "ptr_ft": "query"},
     {"nb_aenc_blocks": 2, "ft_sizes": (24, 12)},          # with audio
 ]
 

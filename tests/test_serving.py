@@ -62,3 +62,17 @@ def test_concurrent_requests_batched(served, rng):
     assert not errs
     assert len(answers) == 8
     assert served.stats["batches"] < 8   # coalescing happened
+
+
+def test_step_timer():
+    import time as _time
+
+    from bist_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(warmup=1)
+    for _ in range(3):
+        with t.step(items=4):
+            _time.sleep(0.01)
+    s = t.summary()
+    assert s["steps"] == 2 and s["mean_s"] >= 0.01
+    assert s["items_per_s"] > 0
