@@ -127,20 +127,28 @@ def run_epoch(loader, state_or_params, step_fn, epoch: int, *,
               state_holder: Optional[list] = None) -> Dict[str, float]:
     """One pass over the loader.  For train=True, state_holder is a 1-element
     list holding TrainState (mutated in place so the caller sees updates)."""
+    from bist_tpu.utils.profiling import StepTimer
+
     stats = EpochStats()
+    timer = StepTimer(warmup=1)
     it = loader
     if shard is not None:
         from bist_tpu.parallel.mesh import prefetch_to_device
 
         it = prefetch_to_device(iter(loader), shard, size=2)
+    # host-side step counter for dropout keys: folding in int(state.step)
+    # would sync on the previous step's device output and stall the pipeline
+    py_step = int(state_holder[0].step) if train else 0
     for j, (batch, meta) in enumerate(it):
-        if train:
-            state = state_holder[0]
-            key = jax.random.fold_in(rng_key, int(state.step))
-            state, metrics = step_fn(state, batch, key)
-            state_holder[0] = state
-        else:
-            metrics = step_fn(state_or_params, batch)
+        with timer.step(items=meta.real_count):
+            if train:
+                state = state_holder[0]
+                key = jax.random.fold_in(rng_key, py_step)
+                py_step += 1
+                state, metrics = step_fn(state, batch, key)
+                state_holder[0] = state
+            else:
+                metrics = step_fn(state_or_params, batch)
         stats.update(metrics)
         # The report block below is the only per-interval host sync; the
         # non-finite guard rides it (detection latency ≤ report_interval).
@@ -163,6 +171,11 @@ def run_epoch(loader, state_or_params, step_fn, epoch: int, *,
                         float(metrics["out"]) / nt,
                         float(metrics["temporal_ae"]) / qt,
                         float(metrics["spatial_ae"]) / qt))
+    t = timer.summary()
+    if t["steps"] > 0:
+        log.info("%s throughput: %.0f examples/s (%.1f ms/step over %d steps)",
+                 "train" if train else "eval", t["items_per_s"],
+                 t["mean_s"] * 1e3, t["steps"])
     return stats.summary()
 
 

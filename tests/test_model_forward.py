@@ -57,6 +57,8 @@ CFG_VARIANTS = [
     {"ptr_gen": False},
     {"ptr_ft": "query"},
     {"ptr_ft": "query+cap"},               # single concat source (generator.py:52-56)
+    {"ptr_ft": "his"},                     # history pointer source
+    {"ptr_ft": "query,cap,his"},           # triple multi-pointer
     {"include_caption": "summary", "separate_caption": False,
      "nb_cenc_blocks": 0, "enc_vc_combine": "none", "ptr_ft": "query"},
     {"nb_aenc_blocks": 2, "ft_sizes": (24, 12)},          # with audio
