@@ -1,0 +1,25 @@
+# Convenience targets (see README.md / CLAUDE.md for details)
+
+.PHONY: test test-fast smoke bench bench-extractor demo dryrun
+
+test:            ## full suite on CPU (virtual 8-device mesh)
+	python -m pytest tests/ -q
+
+test-fast:       ## core correctness checks only
+	python -m pytest tests/test_model_forward.py tests/test_beam.py \
+	  tests/test_data.py tests/test_metrics_golden.py -q
+
+smoke:           ## 3-stage CLI pipeline on synthetic data (CPU)
+	bash scripts/test.sh cpu
+
+bench:           ## generation throughput on the local accelerator
+	python bench.py
+
+bench-extractor: ## ResNeXt-101 3D extraction throughput
+	python scripts/bench_extractor.py
+
+demo:            ## full-pipeline learning proof (train->generate->evaluate)
+	bash scripts/demo_learning.sh
+
+dryrun:          ## multi-chip sharding dry-run (8 virtual devices)
+	python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
