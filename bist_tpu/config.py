@@ -37,6 +37,12 @@ class ModelConfig:
     d_model: int = 512
     att_h: int = 8
     dropout: float = 0.1
+    # Attention-PROBABILITY dropout.  The reference builds every model MHA
+    # from `MultiHeadedAttention(h, d_model)` (mtn.py:77), which keeps the
+    # constructor default p=0.1 (modules.py:67) — args.dropout only controls
+    # FFN/PE/sublayer dropout.  Kept as a separate knob for faithful training
+    # dynamics at any --dropout setting.
+    attn_dropout: float = 0.1
     ptr_gen: bool = True
     ptr_ft: str = "query,cap"
     mask_unk: bool = True

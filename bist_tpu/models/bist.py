@@ -71,24 +71,26 @@ def vid_layer_init(key: jax.Array, cfg: ModelConfig) -> Params:
 
 
 def _attn_sublayer(p: Params, h: int, x: jnp.ndarray, kv: jnp.ndarray,
-                   mask, drop: float, rngs) -> jnp.ndarray:
+                   mask, drop: float, adrop: float, rngs) -> jnp.ndarray:
     """Cross-attention sublayer: x + dropout(MHA(LN(x), kv, kv, mask)).
     Keys/values are the raw memory (the reference norms only the query in
-    sublayer lambdas over external memories, e.g. decoder.py:22-24)."""
+    sublayer lambdas over external memories, e.g. decoder.py:22-24).
+    `drop` is the residual/sublayer rate (args.dropout); `adrop` the
+    attention-probability rate (fixed 0.1 in the reference, mtn.py:77)."""
     return x + dropout(
         mha(p["attn"], h, layer_norm(p["norm"], x), kv, kv, mask,
-            drop_rate=drop, rngs=rngs), drop, rngs)
+            drop_rate=adrop, rngs=rngs), drop, rngs)
 
 
 def _self_attn_sublayer(p: Params, h: int, x: jnp.ndarray, mask, drop: float,
-                        rngs) -> jnp.ndarray:
+                        adrop: float, rngs) -> jnp.ndarray:
     """Self-attention sublayer: the NORMED x feeds q, k, AND v — the
     reference's `sublayer(x, lambda x: attn(x, x, x, mask))` pattern passes
     the normed tensor for all three (modules.py:41-44 + encoder.py:176)."""
     normed = layer_norm(p["norm"], x)
     return x + dropout(
         mha(p["attn"], h, normed, normed, normed, mask,
-            drop_rate=drop, rngs=rngs), drop, rngs)
+            drop_rate=adrop, rngs=rngs), drop, rngs)
 
 
 # kv length at which the fully-fused hop-1 Pallas kernel (K/V projection +
@@ -96,8 +98,8 @@ def _self_attn_sublayer(p: Params, h: int, x: jnp.ndarray, mask, drop: float,
 HOP1_FUSED_MIN_KV = 2048
 
 
-def _hop1(p_hop: Params, h: int, drop: float, rngs, x: jnp.ndarray,
-          kv_groups: jnp.ndarray, mask) -> jnp.ndarray:
+def _hop1(p_hop: Params, h: int, drop: float, adrop: float, rngs,
+          x: jnp.ndarray, kv_groups: jnp.ndarray, mask) -> jnp.ndarray:
     """Hop-1 with dispatch: x (B,Lq,D), kv_groups (B,G,Lk,D), mask (B,1,Lk)
     → x[:,None] + MHA(LN(x), kv, kv) of shape (B,G,Lq,D)."""
     normed = layer_norm(p_hop["norm"], x)
@@ -109,7 +111,7 @@ def _hop1(p_hop: Params, h: int, drop: float, rngs, x: jnp.ndarray,
                                kv_groups, p_hop["attn"], h, mask)
     attn_out = mha(p_hop["attn"], h, normed[:, None], kv_groups, kv_groups,
                    mask=None if mask is None else mask[:, None],
-                   drop_rate=drop, rngs=rngs)
+                   drop_rate=adrop, rngs=rngs)
     return x[:, None] + dropout(attn_out, drop, rngs)
 
 
@@ -120,7 +122,7 @@ def temporal2spatial(p: Params, cfg: ModelConfig, x: jnp.ndarray,
 
     x: (B, Lq, D) query-conditioned state; grid: (B, T, S, D);
     temporal_mask: (B, 1, T)."""
-    h, drop = cfg.att_h, cfg.dropout
+    h, drop, adrop = cfg.att_h, cfg.dropout, cfg.attn_dropout
     B, T, S, D = grid.shape
 
     # Hop 1: per spatial region, attend the query along the T axis.
@@ -128,7 +130,7 @@ def temporal2spatial(p: Params, cfg: ModelConfig, x: jnp.ndarray,
     # here the projection runs once and broadcasting happens in the einsum
     # (or the fused Pallas kernel for long T).
     grid_s = jnp.swapaxes(grid, 1, 2)                       # (B, S, T, D)
-    t_out = _hop1(p["t2s_hop1"], h, drop, rngs, x, grid_s, temporal_mask)
+    t_out = _hop1(p["t2s_hop1"], h, drop, adrop, rngs, x, grid_s, temporal_mask)
 
     # Hop 2: per query token, attend over its S per-region summaries.
     per_tok = jnp.swapaxes(t_out, 1, 2)                      # (B, Lq, S, D)
@@ -136,7 +138,7 @@ def temporal2spatial(p: Params, cfg: ModelConfig, x: jnp.ndarray,
     attn_out2 = mha(p["t2s_hop2"]["attn"], h,
                     normed2[:, :, None],                     # (B, Lq, 1, D)
                     per_tok, per_tok, mask=None,
-                    drop_rate=drop, rngs=rngs)               # (B, Lq, 1, D)
+                    drop_rate=adrop, rngs=rngs)              # (B, Lq, 1, D)
     ts_out = x + dropout(attn_out2[:, :, 0], drop, rngs)
 
     return sublayer(p["t2s_ff"]["norm"], ts_out,
@@ -147,11 +149,11 @@ def spatial2temporal(p: Params, cfg: ModelConfig, x: jnp.ndarray,
                      grid: jnp.ndarray, temporal_mask: jnp.ndarray,
                      rngs: Optional[RngGen]) -> jnp.ndarray:
     """Two-hop spatial→temporal attention (encoder.py:141-170)."""
-    h, drop = cfg.att_h, cfg.dropout
+    h, drop, adrop = cfg.att_h, cfg.dropout, cfg.attn_dropout
 
     # Hop 1: per temporal step, attend the query along the S axis (no mask —
     # spatial positions are always valid, encoder.py:150).
-    s_out = _hop1(p["s2t_hop1"], h, drop, rngs, x, grid, None)
+    s_out = _hop1(p["s2t_hop1"], h, drop, adrop, rngs, x, grid, None)
 
     # Hop 2: per query token, attend over the T per-step summaries with the
     # temporal validity mask (encoder.py:155-165).
@@ -161,7 +163,7 @@ def spatial2temporal(p: Params, cfg: ModelConfig, x: jnp.ndarray,
                     normed2[:, :, None],                     # (B, Lq, 1, D)
                     per_tok, per_tok,
                     mask=temporal_mask[:, None],             # (B, 1, 1, T)
-                    drop_rate=drop, rngs=rngs)
+                    drop_rate=adrop, rngs=rngs)
     st_out = x + dropout(attn_out2[:, :, 0], drop, rngs)
 
     return sublayer(p["s2t_ff"]["norm"], st_out,
@@ -172,18 +174,18 @@ def vid_layer_apply(p: Params, cfg: ModelConfig, in_ft: FT, ft: FT,
                     masks: Masks, rngs: Optional[RngGen]) -> FT:
     """One BiST reasoning layer over in_ft['t2s'] / in_ft['s2t']
     (encoder.py:172-199)."""
-    h, drop = cfg.att_h, cfg.dropout
+    h, drop, adrop = cfg.att_h, cfg.dropout, cfg.attn_dropout
     grid = ft["video_grid"]
     in_ft = dict(in_ft)
     t2s = s2t = None
     if cfg.t2s:
         t2s = _self_attn_sublayer(p["t2s_self"], h, in_ft["t2s"],
-                                  masks["query_mask"], drop, rngs)
+                                  masks["query_mask"], drop, adrop, rngs)
         t2s = temporal2spatial(p, cfg, t2s, grid, masks["temporal_mask"], rngs)
         in_ft["t2s"] = t2s
     if cfg.s2t:
         s2t = _self_attn_sublayer(p["s2t_self"], h, in_ft["s2t"],
-                                  masks["query_mask"], drop, rngs)
+                                  masks["query_mask"], drop, adrop, rngs)
         s2t = spatial2temporal(p, cfg, s2t, grid, masks["temporal_mask"], rngs)
         in_ft["s2t"] = s2t
 
@@ -216,9 +218,9 @@ def ctx_layer_apply(p: Params, cfg: ModelConfig, state: jnp.ndarray,
                     memory: jnp.ndarray, query_mask, memory_mask,
                     rngs: Optional[RngGen]) -> jnp.ndarray:
     """Query self-attn → cross-attn into memory → FFN (Cap/AudioEncoderLayer)."""
-    h, drop = cfg.att_h, cfg.dropout
-    x = _self_attn_sublayer(p["self"], h, state, query_mask, drop, rngs)
-    x = _attn_sublayer(p["cross"], h, x, memory, memory_mask, drop, rngs)
+    h, drop, adrop = cfg.att_h, cfg.dropout, cfg.attn_dropout
+    x = _self_attn_sublayer(p["self"], h, state, query_mask, drop, adrop, rngs)
+    x = _attn_sublayer(p["cross"], h, x, memory, memory_mask, drop, adrop, rngs)
     return sublayer(p["ff"]["norm"], x,
                     lambda y: ffn(p["ff"]["ff"], y, drop, rngs), drop, rngs)
 
@@ -274,11 +276,12 @@ def mm_layer_apply(p: Params, cfg: ModelConfig, ft: FT, x: jnp.ndarray,
     dec_st_combine='seq' runs temporal then spatial sequentially;
     'sum' (the reference's parallel branch, decoder.py:44-51) runs both from
     the same input and adds the results."""
-    h, drop = cfg.att_h, cfg.dropout
-    x = _self_attn_sublayer(p["self"], h, x, masks["trg_mask"], drop, rngs)
-    x = _attn_sublayer(p["his"], h, x, ft["encoded_his"], masks["his_mask"], drop, rngs)
+    h, drop, adrop = cfg.att_h, cfg.dropout, cfg.attn_dropout
+    x = _self_attn_sublayer(p["self"], h, x, masks["trg_mask"], drop, adrop, rngs)
+    x = _attn_sublayer(p["his"], h, x, ft["encoded_his"], masks["his_mask"],
+                       drop, adrop, rngs)
     x = _attn_sublayer(p["query"], h, x, ft["encoded_query"], masks["query_mask"],
-                       drop, rngs)
+                       drop, adrop, rngs)
 
     slots = mm_layer_cross_slots(cfg)
     parallel_st = (cfg.nb_venc_blocks > 0 and cfg.enc_st_combine == "none"
@@ -289,13 +292,14 @@ def mm_layer_apply(p: Params, cfg: ModelConfig, ft: FT, x: jnp.ndarray,
         if parallel_st and name == "temporal":
             # parallel-sum branch: both video attns read the same input
             t = _attn_sublayer(p["temporal"], h, x, ft["temporal_ft"],
-                               masks["query_mask"], drop, rngs)
+                               masks["query_mask"], drop, adrop, rngs)
             s = _attn_sublayer(p["spatial"], h, x, ft["spatial_ft"],
-                               masks["query_mask"], drop, rngs)
+                               masks["query_mask"], drop, adrop, rngs)
             x = t + s
             i += 2
             continue
-        x = _attn_sublayer(p[name], h, x, ft[ft_key], masks[mask_key], drop, rngs)
+        x = _attn_sublayer(p[name], h, x, ft[ft_key], masks[mask_key],
+                           drop, adrop, rngs)
         i += 1
     return sublayer(p["ff"]["norm"], x,
                     lambda y: ffn(p["ff"]["ff"], y, drop, rngs), drop, rngs)

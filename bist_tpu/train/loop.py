@@ -56,7 +56,9 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
     """Returns jitted (state, batch, rng_key) → (state, metrics)."""
 
     def loss_fn(params, batch: Batch, key):
-        rngs = RngGen(key) if cfg.dropout > 0 else None
+        # attn_dropout is active in the reference's train mode even when
+        # --dropout 0 (mtn.py:77 hardcodes the MHA default 0.1)
+        rngs = RngGen(key) if (cfg.dropout > 0 or cfg.attn_dropout > 0) else None
         logp, ft = forward_logprobs(params, cfg, batch, rngs=rngs)
         loss, metrics = compute_losses(logp, ft, params["embed"]["lut"], cfg,
                                        batch, tcfg.smoothing)

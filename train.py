@@ -51,6 +51,9 @@ def build_parser():
                    help="parsed for parity; d_ff is always d_model*4 (mtn.py:70)")
     p.add_argument("--att-h", default=8, type=int)
     p.add_argument("--dropout", default=0.1, type=float)
+    p.add_argument("--attn-dropout", default=0.1, type=float,
+                   help="attention-probability dropout; the reference "
+                        "hardcodes 0.1 regardless of --dropout (mtn.py:77)")
     p.add_argument("--ptr-gen", default=1, type=int)
     p.add_argument("--ptr-ft", default="query,cap", type=str)
     p.add_argument("--mask-unk", default=1, type=int)
@@ -147,7 +150,8 @@ def main(argv=None):
         vocab_size=len(vocab), nb_blocks=args.nb_blocks,
         nb_venc_blocks=args.nb_venc_blocks, nb_cenc_blocks=args.nb_cenc_blocks,
         nb_aenc_blocks=args.nb_aenc_blocks, d_model=args.d_model,
-        att_h=args.att_h, dropout=args.dropout, ptr_gen=bool(args.ptr_gen),
+        att_h=args.att_h, dropout=args.dropout,
+        attn_dropout=args.attn_dropout, ptr_gen=bool(args.ptr_gen),
         ptr_ft=args.ptr_ft, mask_unk=bool(args.mask_unk),
         dec_st_combine=args.dec_st_combine, enc_st_combine=args.enc_st_combine,
         enc_vc_combine=args.enc_vc_combine, auto_encoder=bool(args.auto_encoder),
