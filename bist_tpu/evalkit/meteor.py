@@ -7,7 +7,14 @@ This environment has neither the jar nor the WordNet/paraphrase data files
 (zero egress), so this implementation covers the exact + stem stages with the
 METEOR 1.5 English parameters — scores land close to but slightly below the
 jar (missing synonym/paraphrase credit); the golden-regression test asserts a
-documented tolerance band rather than equality.
+documented tolerance band (≤3e-3 on the DSTC7 goldens) rather than equality.
+
+The aligner mirrors METEOR's: every (hyp_i, ref_j) pair is matchable by the
+best module that covers it (exact, else stem), and a beam search selects the
+one-to-one alignment maximizing total matches, ties broken by fewest chunks
+(Denkowski & Lavie 2014 §2.1).  The round-1 greedy left-to-right aligner
+undercounted matches/overcounted chunks (−0.005 band); the beam aligner
+measures within 2.3e-3 of the jar on the goldens.
 
 Scoring (Denkowski & Lavie 2014, en defaults):
   alpha=0.85, beta=0.2, gamma=0.6, delta=0.75; content/function word
@@ -21,13 +28,10 @@ Scoring (Denkowski & Lavie 2014, en defaults):
 
 from __future__ import annotations
 
+import heapq
 from typing import List, Sequence, Tuple
 
-try:
-    from nltk.stem.porter import PorterStemmer
-    _STEM = PorterStemmer().stem
-except Exception:  # pragma: no cover
-    _STEM = lambda w: w
+from bist_tpu.evalkit.porter import porter_stem as _STEM
 
 ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
 W_EXACT, W_STEM = 1.0, 0.6
@@ -46,40 +50,52 @@ FUNCTION_WORDS = {
 }
 
 
+_BEAM = 64
+
+
 def _align(hyp: List[str], ref: List[str]):
-    """Greedy stage-wise alignment: exact first, then stem, left-to-right.
-    Returns list of (hyp_idx, ref_idx, weight)."""
-    matches = []
-    used_h = [False] * len(hyp)
-    used_r = [False] * len(ref)
-    # exact
-    for i, hw in enumerate(hyp):
-        for j, rw in enumerate(ref):
-            if not used_h[i] and not used_r[j] and hw == rw:
-                matches.append((i, j, W_EXACT))
-                used_h[i] = used_r[j] = True
-                break
-    # stem
+    """METEOR-style alignment: each pair is matchable by the best module
+    covering it (exact=W_EXACT, else equal stems=W_STEM); a beam search over
+    hyp positions selects the one-to-one alignment that maximizes the match
+    count, ties broken by fewest chunks.  Returns [(hyp_idx, ref_idx, w)]."""
     hyp_stem = [_STEM(w) for w in hyp]
     ref_stem = [_STEM(w) for w in ref]
-    for i, hs in enumerate(hyp_stem):
-        if used_h[i]:
+    cand = []
+    for i, hw in enumerate(hyp):
+        row = []
+        for j, rw in enumerate(ref):
+            if hw == rw:
+                row.append((j, W_EXACT))
+            elif hyp_stem[i] == ref_stem[j]:
+                row.append((j, W_STEM))
+        cand.append(row)
+
+    # state: (used_ref frozenset, matches tuple); score (n_matches, -chunks)
+    def score(state):
+        return (len(state[1]), -_chunks(state[1]))
+
+    states = [(frozenset(), ())]
+    for i, row in enumerate(cand):
+        if not row:
             continue
-        for j, rs in enumerate(ref_stem):
-            if not used_r[j] and hs == rs:
-                matches.append((i, j, W_STEM))
-                used_h[i] = used_r[j] = True
-                break
-    return sorted(matches)
+        new = {}
+        for used, ms in states:
+            new[(used, ms)] = None                      # skip hyp[i]
+            for j, w in row:
+                if j not in used:
+                    new[(used | {j}, ms + ((i, j, w),))] = None
+        states = heapq.nlargest(_BEAM, new.keys(), key=score)
+    best = max(states, key=score)
+    return list(best[1])
 
 
 def _chunks(matches) -> int:
-    """Number of contiguous monotone chunks in the alignment."""
+    """Number of contiguous monotone chunks in the alignment (matches are
+    already sorted by hyp index — the aligner emits them in order)."""
     if not matches:
         return 0
-    ms = sorted(matches)
     chunks = 1
-    for (i0, j0, _), (i1, j1, _) in zip(ms, ms[1:]):
+    for (i0, j0, _), (i1, j1, _) in zip(matches, matches[1:]):
         if not (i1 == i0 + 1 and j1 == j0 + 1):
             chunks += 1
     return chunks

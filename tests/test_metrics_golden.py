@@ -47,13 +47,20 @@ def test_golden_regression(name):
     for metric in ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L", "CIDEr"]:
         assert abs(corpus[metric] - gold_corpus[metric]) < 1.5e-3, (
             metric, corpus[metric], gold_corpus[metric])
-    # METEOR approximation: exact+stem stages only → slightly below the jar
-    assert abs(corpus["METEOR"] - gold_corpus["METEOR"]) < 0.01
+    # METEOR approximation: exact+stem stages with the METEOR-style beam
+    # aligner (no WordNet synonym/paraphrase data in this image).  Measured
+    # gaps on the two goldens: -0.0021 / -0.0001.
+    assert abs(corpus["METEOR"] - gold_corpus["METEOR"]) < 0.003
 
     for img in per_image:
         g = gold_img[img["image_id"]]
         assert abs(img["Bleu_4"] - g["Bleu_4"]) < 1e-6
         assert abs(img["ROUGE_L"] - g["ROUGE_L"]) < 1e-6
+        # per-image CIDEr depends on corpus-wide document frequency; a few
+        # unrelated refs tokenize slightly differently than the Java PTB
+        # tokenizer, shifting idf for a handful of n-grams.  Measured dev:
+        # mean 1e-4, max 0.025 over 1710 images (corpus CIDEr matches to 3
+        # decimals; per-image BLEU-4/ROUGE-L are bit-exact).
         assert abs(img["CIDEr"] - g["CIDEr"]) < 0.03
 
 
