@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Tuple
 from bist_tpu.evalkit.bleu import BleuScorer
 from bist_tpu.evalkit.cider import CiderScorer
 from bist_tpu.evalkit.meteor import meteor_corpus
-from bist_tpu.evalkit.ptb_tokenizer import ptb_tokenize
+from bist_tpu.evalkit.ptb_tokenizer import ptb_tokenize, ptb_tokenize_sentence
 from bist_tpu.evalkit.rouge import rouge_l_corpus
 
 
@@ -122,6 +122,15 @@ def evaluate_coco(hypotheses: List[dict], multiref_path: str
     corpus["METEOR"] = meteor_mean
     corpus["ROUGE_L"] = rouge_corpus
     corpus["CIDEr"] = cider_corpus
+    # Aux stats used by write_eval_file to reproduce the coco-caption stdout
+    # layout byte-for-byte (underscore keys; not metrics).
+    corpus["_bleu_totals"] = dict(bleu.totals)
+    corpus["_ref_tokens"] = sum(
+        len(ptb_tokenize_sentence(c, remove_punct=False))
+        for i in ids for c in refs_raw[i])
+    corpus["_hyp_tokens"] = sum(
+        len(ptb_tokenize_sentence(hyp_raw[i][0], remove_punct=False))
+        for i in ids)
 
     per_image = []
     for n, i in enumerate(ids):
@@ -139,17 +148,53 @@ METRIC_ORDER = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L",
                 "CIDEr"]
 
 
+# eval.items() iteration order of the python2 dict in the reference's
+# evaluate.py stdout (sample/baseline_*.eval lines 26-32).
+_PY2_EVAL_ORDER = ["CIDEr", "Bleu_4", "Bleu_3", "Bleu_2", "Bleu_1",
+                   "ROUGE_L", "METEOR"]
+# imgToEval[id] dict key order in the per-image py2 repr lines.
+_PY2_IMG_ORDER = ["CIDEr", "Bleu_4", "Bleu_3", "Bleu_2", "Bleu_1",
+                  "ROUGE_L", "image_id", "METEOR"]
+
+
 def write_eval_file(path: str, corpus: Dict[str, float],
                     per_image: List[Dict[str, float]]) -> None:
-    """Write the `.eval` artifact (summary lines in the reference's
-    `Metric: value` format that the awk summary greps)."""
+    """Write the `.eval` artifact in coco-caption's exact stdout layout
+    (sample/baseline_i3d_rgb-i3d_flow.eval is the oracle): tokenizer/loader
+    progress lines, the Bleu totals dict + ratio, per-scorer `Metric: value`
+    summary lines (what the awk summary greps, dstc7avsd_eval.sh:31-32), the
+    py2 eval.items() block, then one py2-dict-repr line per image.  Only
+    timing figures differ from the reference byte-wise."""
+    bt = corpus.get("_bleu_totals")
     with open(path, "w") as f:
-        for m in METRIC_ORDER:
+        if "_ref_tokens" in corpus:
+            f.write("PTBTokenizer tokenized %d tokens at 500000.00 tokens per"
+                    " second.\n" % corpus["_ref_tokens"])
+            f.write("PTBTokenizer tokenized %d tokens at 500000.00 tokens per"
+                    " second.\n" % corpus["_hyp_tokens"])
+        f.write("loading annotations into memory...\n")
+        f.write("0:00:00.000000\n")
+        f.write("creating index...\nindex created!\n")
+        f.write("Loading and preparing results...     \n")
+        f.write("DONE (t=0.00s)\n")
+        f.write("creating index...\nindex created!\n")
+        f.write("tokenization...\nsetting up scorers...\n")
+        f.write("computing Bleu score...\n")
+        if bt is not None:
+            f.write("{'reflen': %d, 'guess': %r, 'testlen': %d, "
+                    "'correct': %r}\n" % (bt["reflen"], bt["guess"],
+                                          bt["testlen"], bt["correct"]))
+            f.write("ratio: %.12g\n" % (bt["testlen"] / max(bt["reflen"], 1)))
+        for k in range(1, 5):
+            f.write("Bleu_%d: %.3f\n" % (k, corpus[f"Bleu_{k}"]))
+        f.write("computing METEOR score...\nMETEOR: %.3f\n" % corpus["METEOR"])
+        f.write("computing Rouge score...\nROUGE_L: %.3f\n" % corpus["ROUGE_L"])
+        f.write("computing CIDEr score...\nCIDEr: %.3f\n" % corpus["CIDEr"])
+        for m in _PY2_EVAL_ORDER:
             f.write("%s: %.3f\n" % (m, corpus[m]))
         for img in per_image:
-            f.write("%d %s\n" % (img["image_id"],
-                                 {k: v for k, v in img.items()
-                                  if k != "image_id"}))
+            body = ", ".join("'%s': %r" % (k, img[k]) for k in _PY2_IMG_ORDER)
+            f.write("%d {%s}\n" % (img["image_id"], body))
 
 
 def evaluate_result_file(result_path: str, multiref_path: str,

@@ -72,6 +72,21 @@ def main(argv=None):
                               max_wait_ms=args.max_wait_ms)
     server_b.start()
 
+    httpd = make_http_server(args.host, args.port, server_b,
+                             requires_features=cfg.has_video)
+    logging.info("serving on %s:%d", args.host, httpd.server_address[1])
+    try:
+        httpd.serve_forever()
+    finally:
+        server_b.stop()
+
+
+def make_http_server(host, port, server_b, *, requires_features=False):
+    """Build (not start) the ThreadingHTTPServer over a DynamicBatcher.
+    Separated from main() so tests can drive the HTTP layer with an
+    in-process Responder (tests/test_serving.py); port 0 picks a free port
+    (read it back from httpd.server_address)."""
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, obj):
             body = json.dumps(obj).encode()
@@ -100,7 +115,7 @@ def main(argv=None):
                     features = np.load(io.BytesIO(raw), allow_pickle=False)
                 elif "features" in req and req["features"] is not None:
                     features = np.asarray(req["features"], np.float32)
-                if features is None and cfg.has_video:
+                if features is None and requires_features:
                     self._send(400, {"error": "model requires features"})
                     return
                 t0 = time.time()
@@ -115,12 +130,7 @@ def main(argv=None):
         def log_message(self, fmt, *a):
             logging.debug(fmt, *a)
 
-    httpd = ThreadingHTTPServer((args.host, args.port), Handler)
-    logging.info("serving on %s:%d", args.host, args.port)
-    try:
-        httpd.serve_forever()
-    finally:
-        server_b.stop()
+    return ThreadingHTTPServer((host, port), Handler)
 
 
 if __name__ == "__main__":

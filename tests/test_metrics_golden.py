@@ -66,13 +66,46 @@ def test_golden_regression(name):
 
 def test_eval_file_format(tmp_path):
     """The .eval summary lines must awk-match the reference's extraction
-    (dstc7avsd_eval.sh:31-32)."""
+    (dstc7avsd_eval.sh:31-32): the awk prints each ^Metric: line and exits at
+    the first CIDEr, so it must see Bleu_1..4, METEOR, ROUGE_L, CIDEr in that
+    order before the py2 eval.items() block."""
     from bist_tpu.evalkit.harness import write_eval_file
 
     corpus = {"Bleu_1": 0.6, "Bleu_2": 0.5, "Bleu_3": 0.4, "Bleu_4": 0.3,
               "METEOR": 0.2, "ROUGE_L": 0.45, "CIDEr": 0.7}
     out = tmp_path / "x.eval"
     write_eval_file(str(out), corpus, [])
-    lines = out.read_text().splitlines()
     pat = re.compile(r"^(Bleu_[1-4]|METEOR|ROUGE_L|CIDEr): [\d.]+$")
-    assert len(lines) == 7 and all(pat.match(l) for l in lines)
+    seen = []
+    for ln in out.read_text().splitlines():
+        if pat.match(ln):
+            seen.append(ln.split(":")[0])
+            if seen[-1] == "CIDEr":
+                break
+    assert seen == ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
+                    "ROUGE_L", "CIDEr"]
+
+
+def test_eval_file_byte_layout():
+    """Structural byte-parity with the golden .eval: after replacing every
+    number with '#', our file must equal the golden line-for-line (same line
+    count, same progress lines, same py2 dict layouts and key orders)."""
+    import tempfile
+
+    from bist_tpu.evalkit.harness import evaluate_result_file
+
+    name = FIXTURES[0]
+    num = re.compile(r"\d+(?:\.\d+)?(?:e[+-]?\d+)?")
+
+    def normalize(text):
+        return [num.sub("#", ln) for ln in text.splitlines()]
+
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "x.eval")
+        evaluate_result_file(
+            f"{REF}/sample/{name}.json",
+            f"{REF}/data/test_set4DSTC7-AVSD_multiref.json",
+            stopwords_path=f"{REF}/data/stopwords.txt", out_path=out)
+        ours = normalize(open(out).read())
+    golden = normalize(open(f"{REF}/sample/{name}.eval").read())
+    assert ours == golden

@@ -1,5 +1,7 @@
-"""Serving runtime: dynamic batching correctness + concurrency."""
+"""Serving runtime: dynamic batching correctness + concurrency + the
+serve.py HTTP layer."""
 
+import os
 import threading
 
 import numpy as np
@@ -62,6 +64,65 @@ def test_concurrent_requests_batched(served, rng):
     assert not errs
     assert len(answers) == 8
     assert served.stats["batches"] < 8   # coalescing happened
+
+
+def test_http_round_trip(served, rng):
+    """Drive serve.py's actual HTTP layer (handler + ThreadingHTTPServer)
+    over the in-process batcher: healthz, /respond with features (nested
+    lists AND base64 .npy), 400 on missing features, 404 on bad path."""
+    import base64
+    import io
+    import json as _json
+    import sys
+    import threading as _threading
+    import urllib.error
+    import urllib.request
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from serve import make_http_server
+
+    httpd = make_http_server("127.0.0.1", 0, served, requires_features=True)
+    port = httpd.server_address[1]
+    t = _threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = _json.load(r)
+        assert health["ok"] is True and "batches" in health["stats"]
+
+        fts = rng.standard_normal((5, 4, 8)).astype(np.float32)
+
+        def post(path, obj):
+            req = urllib.request.Request(
+                f"{base}{path}", data=_json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, _json.load(r)
+
+        code, resp = post("/respond", {
+            "question": "what is he doing", "history": "a man is walking",
+            "caption": "the man", "features": fts.tolist()})
+        assert code == 200 and isinstance(resp["answer"], str)
+        assert resp["latency_ms"] > 0
+
+        buf = io.BytesIO()
+        np.save(buf, fts)
+        code, resp = post("/respond", {
+            "question": "what is he doing",
+            "features_b64": base64.b64encode(buf.getvalue()).decode()})
+        assert code == 200 and isinstance(resp["answer"], str)
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/respond", {"question": "no features"})
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/nope", {})
+        assert ei.value.code == 404
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
 
 
 def test_step_timer():
