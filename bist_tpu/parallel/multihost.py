@@ -26,9 +26,13 @@ def init_multihost(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (ValueError, RuntimeError):
-        # already initialised or single-process environment
-        pass
+    except RuntimeError as e:
+        # Tolerate ONLY double-initialisation (idempotent callers); any other
+        # failure (unreachable coordinator, mismatched process counts, ...)
+        # must surface — swallowing it would silently fall back to
+        # single-host training.
+        if "already initialized" not in str(e).lower():
+            raise
     return jax.process_index()
 
 
