@@ -127,3 +127,41 @@ class AVSDLoader:
                          qa_ids=[e.qa_id for e in exs],
                          real_count=len(exs))
         return batch, meta
+
+
+def device_prefetch(iterator, prepare=None, size: int = 2):
+    """Background-thread prefetch: runs `prepare(batch)` (e.g. int8 quantize +
+    jax.device_put) for upcoming batches while the device computes the
+    current one, overlapping host collate/disk IO AND the H2D transfer with
+    device compute.  Yields (prepared_batch, meta).
+
+    The training path's prefetch_to_device (parallel/mesh.py) overlaps only
+    via async dispatch on the main thread; generation is tunnel-transfer
+    bound (BENCH.md), so the loader thread matters there."""
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(size, 1))
+    err = []
+
+    def producer():
+        try:
+            for batch, meta in iterator:
+                if prepare is not None:
+                    batch = prepare(batch)
+                q.put((batch, meta))
+        except BaseException as e:  # surface loader errors in the consumer
+            err.append(e)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        yield item
+    t.join()
+    if err:
+        raise err[0]

@@ -141,21 +141,33 @@ def main(argv=None):
     beam_jit = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
     greedy_jit = jax.jit(lambda p, b: greedy_decode(p, cfg, b, gcfg.maxlen))
     from bist_tpu.data.batching import quantize_features
+    from bist_tpu.data.loader import device_prefetch
+    from bist_tpu.decode.beam import BeamResult
 
-    for batch, meta in loader:
+    def prepare(batch):
+        """Loader-thread work: int8-quantise and start the H2D transfer of the
+        NEXT batch while the device decodes the current one (the tunnel
+        transfer is the end-to-end bottleneck, BENCH.md)."""
         if args.feat_int8 and batch.fts is not None:
             q8, scale = quantize_features(batch.fts)
             batch = batch._replace(fts=q8, fts_scale=scale)
+        return jax.tree_util.tree_map(
+            lambda x: None if x is None else jax.device_put(x), batch,
+            is_leaf=lambda x: x is None)
+
+    def drain(pending):
+        """Pull results of the previously-dispatched batch (overlaps this
+        device_get + host postprocessing with the in-flight batch)."""
+        nonlocal n_done
+        fut, meta = pending
         if gcfg.decode_style == "beam_search":
-            result = jax.device_get(beam_jit(params, batch))
-            from bist_tpu.decode.beam import BeamResult
-            result = BeamResult(*result)
+            result = BeamResult(*jax.device_get(fut))
             for row in range(meta.real_count):
                 hyps = extract_hyps(result, id2word, row, gcfg.nbest)
                 best = " ".join(hyps[0][0]) if hyps else ""
                 answers[meta.qa_ids[row]] = (best, hyps)
         else:
-            out = np.asarray(greedy_jit(params, batch))
+            out = np.asarray(fut)
             for row in range(meta.real_count):
                 words = ids2words(out[row], id2word)
                 answers[meta.qa_ids[row]] = (" ".join(words), None)
@@ -163,6 +175,16 @@ def main(argv=None):
         logging.info("decoded %d/%d turns (%.1f turns/s)", n_done,
                      len(test_data.examples),
                      n_done / max(time.time() - start_time, 1e-9))
+
+    pending = None
+    for batch, meta in device_prefetch(iter(loader), prepare, size=2):
+        fut = (beam_jit if gcfg.decode_style == "beam_search"
+               else greedy_jit)(params, batch)
+        if pending is not None:
+            drain(pending)
+        pending = (fut, meta)
+    if pending is not None:
+        drain(pending)
 
     # Reassemble the result JSON in original order (generate.py:30-71).
     result_dialogs = []
