@@ -53,11 +53,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _resolve_interpret(interpret) -> bool:
+    """None → interpret-mode on CPU (no Mosaic backend), compiled elsewhere."""
+    if interpret is None:
+        return jax.default_backend() == "cpu"
+    return interpret
+
+
 def _hop1_kernel(x_ref, q_ref, kv_ref, mask_ref,
                  wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
-                 o_ref, m_scr, l_scr, acc_scr,
+                 o_ref, concat_ref, lse_ref, m_scr, l_scr, acc_scr,
                  *, h: int, d_k: int, kv_len: int, blk_k: int, scale: float):
-    """One (batch, group, kv-block) step of the streamed fused hop."""
+    """One (batch, group, kv-block) step of the streamed fused hop.
+
+    concat_ref/lse_ref are None on the eval path; in training they receive
+    the pre-Wo attention output and per-head log-sum-exp — the residuals the
+    backward kernel needs to recover the softmax without a second pass."""
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -97,20 +108,23 @@ def _hop1_kernel(x_ref, q_ref, kv_ref, mask_ref,
     @pl.when(j == pl.num_programs(2) - 1)
     def _finish():
         l = jnp.maximum(l_scr[:], 1e-30)                # (Lq_pad, h)
-        Lq_pad = acc_scr.shape[0]
-        div = jnp.broadcast_to(l[:, :, None], (Lq_pad, h, d_k)) \
-            .reshape(Lq_pad, h * d_k)
-        concat = acc_scr[:] / div                       # (Lq_pad, D)
+        concat = jnp.concatenate(
+            [acc_scr[:, hd * d_k:(hd + 1) * d_k] / l[:, hd:hd + 1]
+             for hd in range(h)], axis=-1)              # (Lq_pad, D)
         out = jnp.dot(concat, wo_ref[...],
                       preferred_element_type=jnp.float32) + bo_ref[...]
         o_ref[0, 0] = (x_ref[0] + out).astype(o_ref.dtype)
+        if concat_ref is not None:
+            concat_ref[0, 0] = concat.astype(concat_ref.dtype)
+            lse_ref[0, 0] = m_scr[:] + jnp.log(l)
 
 
 def bist_hop1_fused(x: jnp.ndarray, q_proj: jnp.ndarray, kv: jnp.ndarray,
                     attn_params, h: int,
                     mask: Optional[jnp.ndarray] = None,
                     blk_k: int = DEFAULT_BLK_K,
-                    interpret: bool = False) -> jnp.ndarray:
+                    return_residuals: bool = False,
+                    interpret=None):
     """Fused hop-1 for one direction.
 
     x:      (B, Lq, D)   raw query state (residual source)
@@ -119,6 +133,10 @@ def bist_hop1_fused(x: jnp.ndarray, q_proj: jnp.ndarray, kv: jnp.ndarray,
     attn_params: the mha param dict {'wk','wv','wo': {'w','b'}, ...}
     mask:   (B, 1, Lk) kv validity or None
     → (B, G, Lq, D) = x[:,None] + MHA(q, kv, kv)   (encoder.py:113-120)
+
+    With return_residuals, also returns (concat, lse): the pre-Wo attention
+    output (B, G, Lq_pad, D) and per-head log-sum-exp (B, G, Lq_pad, h) that
+    the backward kernel consumes (padded rows included).
     """
     B, G, Lk, D = kv.shape
     Lq = x.shape[1]
@@ -151,24 +169,37 @@ def bist_hop1_fused(x: jnp.ndarray, q_proj: jnp.ndarray, kv: jnp.ndarray,
              attn_params["wv"]["w"], attn_params["wv"]["b"],
              attn_params["wo"]["w"], attn_params["wo"]["b"]]
 
+    interpret = _resolve_interpret(interpret)
     kw = dict(h=h, d_k=d_k, kv_len=Lk, blk_k=blk_k, scale=scale)
-    if mask is not None:
-        def kernel(x_ref, q_ref, kv_ref, mask_ref, wk, bk, wv, bv, wo, bo,
-                   o_ref, m_scr, l_scr, acc_scr):
-            _hop1_kernel(x_ref, q_ref, kv_ref, mask_ref, wk, bk, wv, bv,
-                         wo, bo, o_ref, m_scr, l_scr, acc_scr, **kw)
-    else:
-        def kernel(x_ref, q_ref, kv_ref, wk, bk, wv, bv, wo, bo,
-                   o_ref, m_scr, l_scr, acc_scr):
-            _hop1_kernel(x_ref, q_ref, kv_ref, None, wk, bk, wv, bv,
-                         wo, bo, o_ref, m_scr, l_scr, acc_scr, **kw)
+    n_outs = 3 if return_residuals else 1
 
-    out = pl.pallas_call(
+    def kernel(*refs):
+        ins, outs_scr = refs[:len(args)], refs[len(args):]
+        x_ref, q_ref, kv_ref = ins[0], ins[1], ins[2]
+        mask_ref = ins[3] if mask is not None else None
+        w = ins[3 + (1 if mask is not None else 0):]
+        o_ref = outs_scr[0]
+        concat_ref = outs_scr[1] if return_residuals else None
+        lse_ref = outs_scr[2] if return_residuals else None
+        m_scr, l_scr, acc_scr = outs_scr[n_outs:]
+        _hop1_kernel(x_ref, q_ref, kv_ref, mask_ref, *w,
+                     o_ref, concat_ref, lse_ref, m_scr, l_scr, acc_scr, **kw)
+
+    out_shape = [jax.ShapeDtypeStruct((B, G, Lq_pad, D), x.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, Lq_pad, D), lambda b, g, j: (b, g, 0, 0))]
+    if return_residuals:
+        out_shape += [jax.ShapeDtypeStruct((B, G, Lq_pad, D), jnp.float32),
+                      jax.ShapeDtypeStruct((B, G, Lq_pad, h), jnp.float32)]
+        out_specs += [
+            pl.BlockSpec((1, 1, Lq_pad, D), lambda b, g, j: (b, g, 0, 0)),
+            pl.BlockSpec((1, 1, Lq_pad, h), lambda b, g, j: (b, g, 0, 0))]
+
+    outs = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, G, Lq_pad, D), x.dtype),
+        out_shape=out_shape,
         grid=(B, G, Lk_pad // blk_k),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, Lq_pad, D), lambda b, g, j: (b, g, 0, 0)),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((Lq_pad, h), jnp.float32),
             pltpu.VMEM((Lq_pad, h), jnp.float32),
@@ -178,7 +209,9 @@ def bist_hop1_fused(x: jnp.ndarray, q_proj: jnp.ndarray, kv: jnp.ndarray,
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(*args)
-    return out[:, :, :Lq, :]
+    if return_residuals:
+        return outs[0][:, :, :Lq, :], outs[1], outs[2]
+    return outs[0][:, :, :Lq, :]
 
 
 def hop1_reference(x, q_proj, kv, attn_params, h, mask=None):
@@ -199,7 +232,162 @@ def hop1_reference(x, q_proj, kv, attn_params, h, mask=None):
 
 
 # ---------------------------------------------------------------------------
-# Differentiable wrapper: fused forward, reference backward (remat-style)
+# True fused backward: a second streaming kernel.  Per (b, g, kv-block) cell
+# it recovers p = exp(s − lse) from the saved log-sum-exp, applies the
+# softmax VJP with the row statistic Dh = Σ_dk(d_concat ⊙ concat), and emits
+# dkv per block while accumulating dq and the per-batch weight/bias partials
+# across the (g, j) grid dims — so the (B,G,h,Lq,Lk) score tensor and the
+# projected K/V never materialise in HBM during backprop either.
+
+
+def _hop1_bwd_kernel(q_ref, kv_ref, mask_ref, dcc_ref, dh_ref, lse_ref,
+                     wk_ref, bk_ref, wv_ref, bv_ref,
+                     dkv_ref, dq_ref, dwk_ref, dwv_ref, dbk_ref, dbv_ref,
+                     *, h: int, d_k: int, kv_len: int, blk_k: int,
+                     scale: float):
+    g_idx = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(g_idx == 0, j == 0))
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+        dwk_ref[0] = jnp.zeros_like(dwk_ref[0])
+        dwv_ref[0] = jnp.zeros_like(dwv_ref[0])
+        dbk_ref[0] = jnp.zeros_like(dbk_ref[0])
+        dbv_ref[0] = jnp.zeros_like(dbv_ref[0])
+
+    kv = kv_ref[0, 0]                                   # (blk_k, D)
+    q = q_ref[0]                                        # (Lq_pad, D)
+    dcc = dcc_ref[0, 0]                                 # (Lq_pad, D)
+    lse = lse_ref[0, 0]                                 # (Lq_pad, h)
+    dh = dh_ref[0, 0]                                   # (Lq_pad, h)
+
+    k = jnp.dot(kv, wk_ref[...], preferred_element_type=jnp.float32) \
+        + bk_ref[...]
+    v = jnp.dot(kv, wv_ref[...], preferred_element_type=jnp.float32) \
+        + bv_ref[...]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, blk_k), 1) + j * blk_k
+    valid = col < kv_len
+    if mask_ref is not None:
+        valid = jnp.logical_and(valid, mask_ref[0, 0][None, :] != 0)
+
+    dks, dvs = [], []
+    for head in range(h):
+        sl = slice(head * d_k, (head + 1) * d_k)
+        q_h, k_h, v_h = q[:, sl], k[:, sl], v[:, sl]
+        dcc_h = dcc[:, sl]
+        s = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(valid, s, NEG_INF)
+        p = jnp.exp(s - lse[:, head:head + 1])          # (Lq_pad, blk_k)
+        dp = jax.lax.dot_general(dcc_h, v_h, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - dh[:, head:head + 1]) * scale    # (Lq_pad, blk_k)
+        dq_ref[0, :, sl] = dq_ref[0, :, sl] + jnp.dot(
+            ds, k_h, preferred_element_type=jnp.float32)
+        dks.append(jax.lax.dot_general(ds, q_h, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+        dvs.append(jax.lax.dot_general(p, dcc_h, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+    dk = jnp.concatenate(dks, axis=-1)                  # (blk_k, D)
+    dv = jnp.concatenate(dvs, axis=-1)
+
+    # dk @ Wk^T + dv @ Wv^T via dot_general (contract the output dim) —
+    # avoids an explicit transpose in Mosaic
+    dkv_ref[0, 0] = (
+        jax.lax.dot_general(dk, wk_ref[...], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(dv, wv_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ).astype(dkv_ref.dtype)
+    dwk_ref[0] = dwk_ref[0] + jax.lax.dot_general(
+        kv, dk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwv_ref[0] = dwv_ref[0] + jax.lax.dot_general(
+        kv, dv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbk_ref[0] = dbk_ref[0] + jnp.sum(dk, axis=0)
+    dbv_ref[0] = dbv_ref[0] + jnp.sum(dv, axis=0)
+
+
+def _hop1_bwd_pallas(q_proj, kv, mask, d_concat, dh, lse, wk, bk, wv, bv,
+                     h: int, blk_k: int = DEFAULT_BLK_K,
+                     interpret=None):
+    """Backward kernel driver.  d_concat/dh/lse are Lq_pad-padded (from the
+    forward residuals); returns (dq (B,Lq_pad,D), dkv, dwk, dwv, dbk, dbv)
+    with weight/bias grads summed over the per-batch partials."""
+    B, G, Lk, D = kv.shape
+    d_k = D // h
+    scale = 1.0 / math.sqrt(d_k)
+    Lq_pad = d_concat.shape[2]
+    interpret = _resolve_interpret(interpret)
+
+    blk_k = min(blk_k, _round_up(Lk, 128))
+    Lk_pad = _round_up(Lk, blk_k)
+    kv_p = jnp.pad(kv, ((0, 0), (0, 0), (0, Lk_pad - Lk), (0, 0)))
+    q_p = jnp.pad(q_proj, ((0, 0), (0, Lq_pad - q_proj.shape[1]), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec((1, Lq_pad, D), lambda b, g, j: (b, 0, 0)),
+        pl.BlockSpec((1, 1, blk_k, D), lambda b, g, j: (b, g, j, 0)),
+    ]
+    args = [q_p, kv_p]
+    if mask is not None:
+        mp = jnp.pad(mask.astype(jnp.int32),
+                     ((0, 0), (0, 0), (0, Lk_pad - Lk)))
+        in_specs.append(pl.BlockSpec((1, 1, blk_k), lambda b, g, j: (b, 0, j)))
+        args.append(mp)
+    in_specs += [
+        pl.BlockSpec((1, 1, Lq_pad, D), lambda b, g, j: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, Lq_pad, h), lambda b, g, j: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, Lq_pad, h), lambda b, g, j: (b, g, 0, 0)),
+        pl.BlockSpec((D, D), lambda b, g, j: (0, 0)),
+        pl.BlockSpec((D,), lambda b, g, j: (0,)),
+        pl.BlockSpec((D, D), lambda b, g, j: (0, 0)),
+        pl.BlockSpec((D,), lambda b, g, j: (0,)),
+    ]
+    args += [d_concat, dh, lse, wk, bk, wv, bv]
+
+    kw = dict(h=h, d_k=d_k, kv_len=Lk, blk_k=blk_k, scale=scale)
+
+    def kernel(*refs):
+        ins, outs = refs[:len(args)], refs[len(args):]
+        q_ref, kv_ref = ins[0], ins[1]
+        mask_ref = ins[2] if mask is not None else None
+        rest = ins[2 + (1 if mask is not None else 0):]
+        _hop1_bwd_kernel(q_ref, kv_ref, mask_ref, *rest, *outs, **kw)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((B, G, Lk_pad, D), kv.dtype),      # dkv
+        jax.ShapeDtypeStruct((B, Lq_pad, D), jnp.float32),      # dq
+        jax.ShapeDtypeStruct((B, D, D), jnp.float32),           # dwk partials
+        jax.ShapeDtypeStruct((B, D, D), jnp.float32),           # dwv partials
+        jax.ShapeDtypeStruct((B, D), jnp.float32),              # dbk partials
+        jax.ShapeDtypeStruct((B, D), jnp.float32),              # dbv partials
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, blk_k, D), lambda b, g, j: (b, g, j, 0)),
+        pl.BlockSpec((1, Lq_pad, D), lambda b, g, j: (b, 0, 0)),
+        pl.BlockSpec((1, D, D), lambda b, g, j: (b, 0, 0)),
+        pl.BlockSpec((1, D, D), lambda b, g, j: (b, 0, 0)),
+        pl.BlockSpec((1, D), lambda b, g, j: (b, 0)),
+        pl.BlockSpec((1, D), lambda b, g, j: (b, 0)),
+    ]
+    dkv, dq, dwk_p, dwv_p, dbk_p, dbv_p = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(B, G, Lk_pad // blk_k),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+    return (dq, dkv[:, :, :Lk, :], dwk_p.sum(0), dwv_p.sum(0),
+            dbk_p.sum(0), dbv_p.sum(0))
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: fused streaming forward AND backward kernels
 
 
 def _hop1_flat(x, q_proj, kv, wk, bk, wv, bv, wo, bo, h, mask):
@@ -210,26 +398,41 @@ def _hop1_flat(x, q_proj, kv, wk, bk, wv, bv, wo, bo, h, mask):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
 def hop1_trainable(x, q_proj, kv, wk, bk, wv, bv, wo, bo, h, mask=None):
-    """Differentiable fused hop-1: forward runs the Pallas kernel; backward
-    recomputes through the einsum reference (remat-style — one extra
-    reference forward instead of a bespoke backward kernel)."""
+    """Differentiable fused hop-1: both forward and backward run streaming
+    Pallas kernels (the round-1 version rematerialised through the einsum
+    reference on the backward, giving training no kernel benefit)."""
     p = {"wk": {"w": wk, "b": bk}, "wv": {"w": wv, "b": bv},
          "wo": {"w": wo, "b": bo}}
     return bist_hop1_fused(x, q_proj, kv, p, h, mask)
 
 
 def _hop1_fwd(x, q_proj, kv, wk, bk, wv, bv, wo, bo, h, mask=None):
-    out = hop1_trainable(x, q_proj, kv, wk, bk, wv, bv, wo, bo, h, mask)
-    return out, (x, q_proj, kv, wk, bk, wv, bv, wo, bo, mask)
+    p = {"wk": {"w": wk, "b": bk}, "wv": {"w": wv, "b": bv},
+         "wo": {"w": wo, "b": bo}}
+    out, concat, lse = bist_hop1_fused(x, q_proj, kv, p, h, mask,
+                                       return_residuals=True)
+    return out, (q_proj, kv, wk, bk, wv, bv, wo, mask, concat, lse)
 
 
 def _hop1_bwd(h, res, g):
-    x, q_proj, kv, wk, bk, wv, bv, wo, bo, mask = res
-    _, vjp = jax.vjp(
-        lambda *a: _hop1_flat(*a, h=h, mask=mask),
-        x, q_proj, kv, wk, bk, wv, bv, wo, bo)
-    grads = vjp(g)
-    return grads + (None,)
+    q_proj, kv, wk, bk, wv, bv, wo, mask, concat, lse = res
+    B, G, Lq, D = g.shape
+    d_k = D // h
+    Lq_pad = concat.shape[2]
+    gf = g.astype(jnp.float32)
+
+    dx = jnp.sum(gf, axis=1)                                   # (B, Lq, D)
+    dbo = jnp.sum(gf, axis=(0, 1, 2))
+    g_pad = jnp.pad(gf, ((0, 0), (0, 0), (0, Lq_pad - Lq), (0, 0)))
+    dwo = jnp.einsum("bgld,bgle->de", concat, g_pad)
+    d_concat = jnp.einsum("bgle,de->bgld", g_pad, wo)          # g @ Wo^T
+    # per-head row statistic Dh = Σ_dk d_concat ⊙ concat  → (B, G, Lq_pad, h)
+    dh = jnp.sum((d_concat * concat).reshape(B, G, Lq_pad, h, d_k), axis=-1)
+
+    dq, dkv, dwk, dwv, dbk, dbv = _hop1_bwd_pallas(
+        q_proj, kv, mask, d_concat, dh, lse, wk, bk, wv, bv, h)
+    dq = dq[:, :Lq, :]
+    return (dx.astype(g.dtype), dq, dkv, dwk, dbk, dwv, dbv, dwo, dbo, None)
 
 
 hop1_trainable.defvjp(_hop1_fwd, _hop1_bwd)

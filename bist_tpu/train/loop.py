@@ -52,8 +52,11 @@ def create_train_state(key: jax.Array, cfg: ModelConfig, tcfg: TrainConfig,
 
 
 def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
-                    tx: optax.GradientTransformation, donate: bool = True):
-    """Returns jitted (state, batch, rng_key) → (state, metrics)."""
+                    tx: optax.GradientTransformation, donate: bool = True,
+                    jit_compile: bool = True):
+    """Returns jitted (state, batch, rng_key) → (state, metrics).
+    jit_compile=False returns the raw step for callers that compose it into
+    a larger program (e.g. scan-chained benchmarking)."""
 
     def loss_fn(params, batch: Batch, key):
         # attn_dropout is active in the reference's train mode even when
@@ -73,6 +76,8 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
         metrics["loss"] = loss
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    if not jit_compile:
+        return step_fn
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 

@@ -99,3 +99,33 @@ def test_hop1_trainable_grads_match_reference(rng):
                                        rtol=2e-4, atol=2e-4)
     finally:
         BK.bist_hop1_fused = orig
+
+
+def test_hop1_trainable_grads_multiblock(rng):
+    """Same grad equality with Lk > blk_k: exercises the kv-block STREAMING
+    in both kernels (online-softmax carry forward; (g, j)-accumulated dq and
+    per-batch weight partials backward) and the no-mask path."""
+    import bist_tpu.ops.bist_kernels as BK
+
+    h = 2
+    p = mha_init(jax.random.PRNGKey(1), h, 16)
+    B, G, Lk = 2, 2, 600   # blk_k=512 → 2 kv blocks, with 424 padded cols
+    x = jnp.asarray(rng.standard_normal((B, 3, 16)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((B, G, Lk, 16)), jnp.float32)
+    q_proj = linear(p["wq"], x)
+    args = (x, q_proj, kv, p["wk"]["w"], p["wk"]["b"], p["wv"]["w"],
+            p["wv"]["b"], p["wo"]["w"], p["wo"]["b"])
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.square(BK.hop1_trainable(*a, h, None)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.square(BK._hop1_flat(*a, h=h, mask=None)))
+
+    np.testing.assert_allclose(float(loss_fused(*args)),
+                               float(loss_ref(*args)), rtol=1e-4)
+    gf = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
