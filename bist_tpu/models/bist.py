@@ -94,8 +94,10 @@ def _self_attn_sublayer(p: Params, h: int, x: jnp.ndarray, mask, drop: float,
 
 
 # kv length at which the fully-fused hop-1 Pallas kernel (K/V projection +
-# attention + out projection in VMEM, ops/bist_kernels.py) beats XLA on v5e
-HOP1_FUSED_MIN_KV = 2048
+# attention + out projection streamed through VMEM, ops/bist_kernels.py)
+# takes over from XLA — a MEMORY-capacity frontier, not a latency crossover
+# (measured: XLA is at the latency floor below it; ops/dispatch.py)
+from bist_tpu.ops.dispatch import HOP1_FUSED_MIN_KV
 
 
 def _hop1(p_hop: Params, h: int, drop: float, adrop: float, rngs,

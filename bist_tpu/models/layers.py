@@ -204,8 +204,9 @@ def _flash_path(Q, K, V, mask, h):
     return out.reshape(lead + (Lq, dk))
 
 
-# kv length at which the streaming kernel beats XLA's fused einsum on v5e
-FLASH_MIN_KV = 4096
+# single source of truth for the XLA↔Pallas frontier (measured, see
+# ops/dispatch.py docstring + BENCH.md)
+from bist_tpu.ops.dispatch import FLASH_MIN_KV
 
 
 def mha(p: Params, h: int, query: jnp.ndarray, key: jnp.ndarray,

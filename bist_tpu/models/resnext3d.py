@@ -100,7 +100,14 @@ def init_resnext101(key: jax.Array, in_ch: int = 3,
 # Apply
 
 
-def _conv3d(x, w, stride=(1, 1, 1), padding="SAME", groups=1):
+def _conv3d(x, w, stride=(1, 1, 1), padding=None, groups=1):
+    """conv3d with TORCH-style symmetric padding k//2 per spatial dim.
+
+    XLA's 'SAME' pads asymmetrically for stride>1 (e.g. k=3 s=2 on even
+    extents pads (0,1) where torch pads (1,1)) — checkpoint parity requires
+    the torch convention on every strided conv (stem + stage downsamples)."""
+    if padding is None:
+        padding = [(int(k) // 2, int(k) // 2) for k in w.shape[:3]]
     return jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
@@ -187,7 +194,16 @@ def _conv_w(sd, name):
 
 def load_torch_resnext(ckpt_path: str) -> Params:
     """Convert the pretrained Kinetics ResNeXt-101 checkpoint
-    (reference main.py:33-35 torch.load) to our folded-BN pytree."""
+    (reference main.py:33-35 torch.load) to our folded-BN pytree.
+
+    DAY-ONE CHECK (the checkpoint is not in this environment): when the real
+    Kinetics weights land, verify full-network feature equivalence before
+    any extraction run — load the checkpoint in BOTH frameworks, push a few
+    real clips through `resnext101_apply(mode='spatio_temporal')` and the
+    reference `classify_video`, and assert (T, 16, 2048) features agree to
+    ~1e-3.  Unit-level parity (grouped bottleneck vs torch, folded BN) is
+    covered by tests/test_resnext3d.py; end-to-end equivalence against the
+    published features is the one link that needs the artifact."""
     import torch
 
     blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)

@@ -1,0 +1,33 @@
+"""Single source of truth for XLA ↔ Pallas kernel dispatch thresholds.
+
+Round-1 shipped three ad-hoc constants (layers.py 4096, bist.py 2048,
+flash_attention.py 1024).  Round 2 measured the actual crossover on the
+v5e chip (scripts/bench_kernels.py + probes; table in BENCH.md) and found:
+
+  * At BiST's head geometry (d_k = d_model/h = 16), XLA's fused attention is
+    at or below BOTH Pallas kernels at every kv length measured (256-16384).
+    Two structural reasons: (a) a 16-deep contraction uses 1/8 of the MXU's
+    128-lane depth, and XLA's batched-matmul pipeline handles that better
+    than per-head dots in a kernel; (b) the flash kernel must pad d_k=16 to
+    the 128-lane width → 8x the HBM traffic on K/V.
+  * At wide head dims (d=128) XLA still matches or beats the flash kernel
+    up to 16k kv on this chip (its attention fusion reaches the HBM floor).
+
+So on v5e the Pallas kernels are NOT a speed play — they are the
+MEMORY-BOUND play: XLA materialises the (B, G, h, Lq, Lk) score tensor and
+the projected K/V in HBM, which scales linearly in Lk and exhausts the 16GB
+HBM around Lk ≈ 3e4-1e5 at flagship batch shapes, while the streaming
+kernels keep live memory independent of Lk.  The thresholds below therefore
+mark the capacity frontier, not a latency crossover:
+
+  flagship hop-1 at Lk = 32768: XLA's scores (8·16·8·16·32768·4 B ≈ 17 GB)
+  alone exceed v5e HBM; the fused kernel's live set stays ≈ kv-block-sized.
+
+Numbers measured on this image's tunnelled v5e; re-run
+scripts/bench_kernels.py to recalibrate on other hardware.
+"""
+
+# kv length above which XLA's materialised score/K-V tensors approach HBM
+# capacity at flagship-like shapes → switch to the streaming kernels.
+FLASH_MIN_KV = 32768
+HOP1_FUSED_MIN_KV = 32768

@@ -160,8 +160,8 @@ def attention_reference(q, k, v, mask=None, sm_scale=None):
     return jnp.einsum("gqk,gkd->gqd", p, v)
 
 
-# kv length at which streaming beats the fused-einsum XLA path on v5e
-FLASH_MIN_KV = 1024
+# single source of truth for the XLA↔Pallas frontier (ops/dispatch.py)
+from bist_tpu.ops.dispatch import FLASH_MIN_KV
 
 
 def dispatch_attention(q, k, v, mask=None, sm_scale=None, interpret=False):

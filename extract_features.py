@@ -82,9 +82,13 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--start_idx", type=int, default=0)
     p.add_argument("--end_idx", type=int, default=-1)
-    p.add_argument("--model_name", default="resnext", help="CLI parity no-op")
-    p.add_argument("--model_depth", type=int, default=101,
-                   help="CLI parity; only 101 is implemented")
+    p.add_argument("--model_name", default="resnext",
+                   choices=["resnext", "resnet", "preresnet", "wideresnet",
+                            "densenet"],
+                   help="backbone family (reference model.py:7-120 zoo)")
+    p.add_argument("--model_depth", type=int, default=101)
+    p.add_argument("--resnet_shortcut", default="B", choices=["A", "B"])
+    p.add_argument("--wide_resnet_k", type=int, default=2)
     args = p.parse_args(argv)
 
     import jax
@@ -93,12 +97,39 @@ def main(argv=None):
         extract_video_features, init_resnext101, load_torch_resnext,
         resnext101_apply)
 
-    if args.model:
-        params = load_torch_resnext(args.model)
-        print(f"loaded checkpoint {args.model}")
+    if args.model_name == "resnext":
+        if args.model_depth != 101:
+            sys.exit("only ResNeXt-101 is implemented for resnext")
+        if args.model:
+            params = load_torch_resnext(args.model)
+            print(f"loaded checkpoint {args.model}")
+        else:
+            params = init_resnext101(jax.random.PRNGKey(0))
+            print("WARNING: random init (no --model checkpoint)")
+        backbone = lambda p, c, mode: resnext101_apply(p, c, mode=mode)
     else:
-        params = init_resnext101(jax.random.PRNGKey(0))
-        print("WARNING: random init (no --model checkpoint)")
+        from bist_tpu.models.backbones3d import (backbone_apply,
+                                                 init_backbone,
+                                                 load_torch_backbone)
+
+        name = {"preresnet": "preact_resnet"}.get(args.model_name,
+                                                  args.model_name)
+        if args.model:
+            import torch
+
+            blob = torch.load(args.model, map_location="cpu",
+                              weights_only=False)
+            sd = blob.get("state_dict", blob)
+            arch, params = load_torch_backbone(
+                sd, name, args.model_depth, shortcut=args.resnet_shortcut,
+                wide_k=args.wide_resnet_k)
+            print(f"loaded checkpoint {args.model}")
+        else:
+            arch, params = init_backbone(
+                jax.random.PRNGKey(0), name, args.model_depth,
+                shortcut=args.resnet_shortcut, wide_k=args.wide_resnet_k)
+            print("WARNING: random init (no --model checkpoint)")
+        backbone = lambda p, c, mode: backbone_apply(arch, p, c, mode=mode)
 
     if args.mode == "score":
         mode = "score"
@@ -106,7 +137,7 @@ def main(argv=None):
         mode = "spatio_temporal" if args.spatio_temporal else "temporal_only"
         if args.temporal_only:
             mode = "temporal_only"
-    apply_fn = jax.jit(lambda p, c: resnext101_apply(p, c, mode=mode))
+    apply_fn = jax.jit(lambda p, c: backbone(p, c, mode))
 
     entries = sorted(
         glob.glob(os.path.join(args.video_root, "*.mp4"))
