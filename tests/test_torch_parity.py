@@ -49,6 +49,10 @@ def make_ref_args(cfg: ModelConfig):
     a.s2t = 1 if cfg.s2t else 0
     a.include_caption = cfg.include_caption
     a.separate_caption = cfg.separate_caption
+    # encoder.py:84 reads the UNDEFINED args.noW_venc on the audio path (a
+    # latent AttributeError in the reference, SURVEY §2.1 #9) — define the
+    # only value under which the reference runs at all
+    a.noW_venc = False
     return a
 
 
@@ -157,6 +161,9 @@ def build_ref_model_with_our_params(ref_mtn, cfg, params):
     if cfg.has_video:
         copy_linear(model.vid_encoder.W, params["vid_enc"]["W"])
         copy_norm(model.vid_encoder.in_norm, params["vid_enc"]["in_norm"])
+    if cfg.has_audio:
+        copy_linear(model.vid_encoder.a_W, params["vid_enc"]["a_W"])
+        copy_norm(model.vid_encoder.a_in_norm, params["vid_enc"]["a_in_norm"])
     dec = params["decoder"]
     tdec = model.mutlimodal_decoder
     for n in range(cfg.nb_blocks):
@@ -165,6 +172,8 @@ def build_ref_model_with_our_params(ref_mtn, cfg, params):
             copy_vid_layer(tdec.v_layers[n], dec["v_layers"][n], cfg)
         if cfg.use_cap_layers:
             copy_ctx_layer(tdec.c_layers[n], dec["c_layers"][n])
+        if cfg.nb_aenc_blocks > 0:
+            copy_ctx_layer(tdec.a_layers[n], dec["a_layers"][n])
     copy_norm(tdec.norm, dec["norm"])
     if cfg.nb_venc_blocks > 0 and (cfg.enc_st_combine == "none"
                                    or not cfg.both_directions):
@@ -174,6 +183,8 @@ def build_ref_model_with_our_params(ref_mtn, cfg, params):
             copy_norm(tdec.spatial_out_norm, dec["spatial_out_norm"])
     if cfg.use_cap_layers:
         copy_norm(tdec.cap_out_norm, dec["cap_out_norm"])
+    if cfg.nb_aenc_blocks > 0:
+        copy_norm(tdec.a_out_norm, dec["a_out_norm"])
     if cfg.nb_venc_blocks > 0 and cfg.use_cap_layers \
             and cfg.enc_vc_combine == "dyn":
         copy_linear(tdec.vc_combine_W, dec["vc_combine_W"])
@@ -265,6 +276,52 @@ def test_forward_matches_reference_fusion_variants(ref_modules, rng):
     our_batch = Batch(query=q.astype(np.int32), his=h_.astype(np.int32),
                       trg=t.astype(np.int32), trg_y=t.astype(np.int32),
                       cap=c.astype(np.int32), fts=fts, audio_fts=None)
+    our_logp, _ = forward_logprobs(params, cfg, our_batch, rngs=None)
+    np.testing.assert_allclose(np.asarray(our_logp), ref_logp,
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_forward_matches_reference_with_audio(ref_modules, rng):
+    """Audio path parity: VGGish projection (a_W/a_in_norm), AudioEncoderLayer
+    stack, the 4-way dyn fusion (temporal/spatial/cap/audio, decoder.py:167)
+    and the audio cross-attention in the response layer — vs the actual
+    reference model.  (The reference only runs here with noW_venc injected;
+    encoder.py:84 reads that undefined flag.)"""
+    import torch
+
+    ref_mtn, ref_dataset = ref_modules
+    cfg = ModelConfig(vocab_size=60, nb_blocks=2, nb_venc_blocks=2,
+                      nb_cenc_blocks=2, nb_aenc_blocks=2, d_model=16,
+                      att_h=2, dropout=0.0, include_caption="summary",
+                      separate_caption=True, ft_sizes=(24, 12),
+                      enc_st_combine="none", enc_vc_combine="dyn",
+                      dec_st_combine="seq")
+    params = init_model(jax.random.PRNGKey(11), cfg)
+    model, args = build_ref_model_with_our_params(ref_mtn, cfg, params)
+
+    B, Lq, Lh, Lc, Lt, T, S, Ta = 2, 5, 7, 4, 6, 3, 4, 5
+
+    def toks(L):
+        x = rng.integers(4, 60, size=(B, L)).astype(np.int64)
+        x[:, -1] = PAD
+        return x
+
+    q, h_, c, t, ty = toks(Lq), toks(Lh), toks(Lc), toks(Lt), toks(Lt)
+    fts = rng.standard_normal((B, T, S, 24)).astype(np.float32)
+    audio = rng.standard_normal((B, Ta, 12)).astype(np.float32)
+    audio[:, -1] = 0.0   # padded audio step → audio_mask coverage
+
+    # ref Batch wants audio as a LIST of numpy arrays (dataset.py:86)
+    ref_batch = ref_dataset.Batch(_t(q), _t(h_), [fts], _t(c), _t(t), _t(ty),
+                                  PAD, ["v0", "v1"], [0, 1],
+                                  audio_fts=[audio])
+    with torch.no_grad():
+        ft = model.forward(ref_batch)
+        ref_logp = model.generator(ft, ref_batch, args).numpy()
+
+    our_batch = Batch(query=q.astype(np.int32), his=h_.astype(np.int32),
+                      trg=t.astype(np.int32), trg_y=ty.astype(np.int32),
+                      cap=c.astype(np.int32), fts=fts, audio_fts=audio)
     our_logp, _ = forward_logprobs(params, cfg, our_batch, rngs=None)
     np.testing.assert_allclose(np.asarray(our_logp), ref_logp,
                                rtol=5e-4, atol=5e-4)
