@@ -1,6 +1,6 @@
 # Convenience targets (see README.md / CLAUDE.md for details)
 
-.PHONY: test test-fast smoke bench bench-extractor demo dryrun
+.PHONY: test test-fast smoke bench bench-extractor bench-kernels bench-train demo dryrun reproduce
 
 test:            ## full suite on CPU (virtual 8-device mesh)
 	python -m pytest tests/ -q
@@ -23,3 +23,12 @@ demo:            ## full-pipeline learning proof (train->generate->evaluate)
 
 dryrun:          ## multi-chip sharding dry-run (8 virtual devices)
 	python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+
+bench-kernels:   ## XLA vs Pallas dispatch-crossover sweep (BENCH.md table)
+	python scripts/bench_kernels.py
+
+bench-train:     ## train-step dtype/width sweep (f32 vs bf16)
+	python scripts/bench_train.py
+
+reproduce:       ## download-day AVSD reproduction, synthetic rehearsal
+	bash scripts/reproduce_avsd.sh --synthetic --device cpu

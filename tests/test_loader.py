@@ -94,3 +94,25 @@ def test_rgb_eager_skip(tmp_path, rng):
     assert batch.shape == (1, 8, 16)
     np.testing.assert_array_equal(batch[0, :5], arr[::2])
     np.testing.assert_array_equal(batch[0, 5:], 0.0)
+
+
+def test_device_prefetch_order_and_errors():
+    """device_prefetch preserves order, applies prepare(), and surfaces
+    producer exceptions in the consumer."""
+    from bist_tpu.data.loader import device_prefetch
+
+    items = [(i, {"i": i}) for i in range(7)]
+    out = list(device_prefetch(iter(items), prepare=lambda b: b * 10, size=2))
+    assert [b for b, _ in out] == [i * 10 for i in range(7)]
+    assert [m["i"] for _, m in out] == list(range(7))
+
+    def boom():
+        yield (1, {})
+        raise RuntimeError("loader exploded")
+
+    import pytest
+
+    gen = device_prefetch(boom(), size=2)
+    assert next(gen)[0] == 1
+    with pytest.raises(RuntimeError, match="loader exploded"):
+        list(gen)

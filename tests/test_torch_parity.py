@@ -325,3 +325,40 @@ def test_forward_matches_reference_with_audio(ref_modules, rng):
     our_logp, _ = forward_logprobs(params, cfg, our_batch, rngs=None)
     np.testing.assert_allclose(np.asarray(our_logp), ref_logp,
                                rtol=5e-4, atol=5e-4)
+
+
+def test_forward_matches_reference_parallel_sum(ref_modules, rng):
+    """dec_st_combine='sum' parity: the response layer's parallel-sum video
+    branch (both temporal and spatial cross-attentions read the same input
+    and add, decoder.py:44-51) vs the actual reference model."""
+    import torch
+
+    ref_mtn, ref_dataset = ref_modules
+    cfg = ModelConfig(vocab_size=60, nb_blocks=2, nb_venc_blocks=2,
+                      nb_cenc_blocks=2, d_model=16, att_h=2, dropout=0.0,
+                      include_caption="summary", separate_caption=True,
+                      ft_sizes=(24,), enc_st_combine="none",
+                      enc_vc_combine="none", dec_st_combine="sum")
+    params = init_model(jax.random.PRNGKey(13), cfg)
+    model, args = build_ref_model_with_our_params(ref_mtn, cfg, params)
+
+    B = 2
+
+    def toks(L):
+        x = rng.integers(4, 60, size=(B, L)).astype(np.int64)
+        x[:, -1] = PAD
+        return x
+
+    q, h_, c, t, ty = toks(5), toks(7), toks(4), toks(6), toks(6)
+    fts = rng.standard_normal((B, 3, 4, 24)).astype(np.float32)
+    ref_batch = ref_dataset.Batch(_t(q), _t(h_), [fts], _t(c), _t(t), _t(ty),
+                                  PAD, ["v0", "v1"], [0, 1])
+    with torch.no_grad():
+        ft = model.forward(ref_batch)
+        ref_logp = model.generator(ft, ref_batch, args).numpy()
+    our_batch = Batch(query=q.astype(np.int32), his=h_.astype(np.int32),
+                      trg=t.astype(np.int32), trg_y=ty.astype(np.int32),
+                      cap=c.astype(np.int32), fts=fts, audio_fts=None)
+    our_logp, _ = forward_logprobs(params, cfg, our_batch, rngs=None)
+    np.testing.assert_allclose(np.asarray(our_logp), ref_logp,
+                               rtol=5e-4, atol=5e-4)
