@@ -253,8 +253,8 @@ def _hop1_bwd_kernel(q_ref, kv_ref, mask_ref, dcc_ref, dh_ref, lse_ref,
         dq_ref[0] = jnp.zeros_like(dq_ref[0])
         dwk_ref[0] = jnp.zeros_like(dwk_ref[0])
         dwv_ref[0] = jnp.zeros_like(dwv_ref[0])
-        dbk_ref[0] = jnp.zeros_like(dbk_ref[0])
-        dbv_ref[0] = jnp.zeros_like(dbv_ref[0])
+        dbk_ref[0, 0] = jnp.zeros_like(dbk_ref[0, 0])
+        dbv_ref[0, 0] = jnp.zeros_like(dbv_ref[0, 0])
 
     kv = kv_ref[0, 0]                                   # (blk_k, D)
     q = q_ref[0]                                        # (Lq_pad, D)
@@ -305,8 +305,12 @@ def _hop1_bwd_kernel(q_ref, kv_ref, mask_ref, dcc_ref, dh_ref, lse_ref,
         kv, dk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dwv_ref[0] = dwv_ref[0] + jax.lax.dot_general(
         kv, dv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dbk_ref[0] = dbk_ref[0] + jnp.sum(dk, axis=0)
-    dbv_ref[0] = dbv_ref[0] + jnp.sum(dv, axis=0)
+    # NOTE: the true bk gradient is analytically ZERO (a uniform k bias
+    # shifts every score of a query row equally; softmax is shift-invariant)
+    # — what both this kernel and autodiff produce for dbk is cancellation
+    # residue.  Computed anyway for interface generality.
+    dbk_ref[0, 0] = dbk_ref[0, 0] + jnp.sum(dk, axis=0)
+    dbv_ref[0, 0] = dbv_ref[0, 0] + jnp.sum(dv, axis=0)
 
 
 def _hop1_bwd_pallas(q_proj, kv, mask, d_concat, dh, lse, wk, bk, wv, bv,
@@ -361,16 +365,18 @@ def _hop1_bwd_pallas(q_proj, kv, mask, d_concat, dh, lse, wk, bk, wv, bv,
         jax.ShapeDtypeStruct((B, Lq_pad, D), jnp.float32),      # dq
         jax.ShapeDtypeStruct((B, D, D), jnp.float32),           # dwk partials
         jax.ShapeDtypeStruct((B, D, D), jnp.float32),           # dwv partials
-        jax.ShapeDtypeStruct((B, D), jnp.float32),              # dbk partials
-        jax.ShapeDtypeStruct((B, D), jnp.float32),              # dbv partials
+        # bias partials carry a unit middle dim: Mosaic requires the block's
+        # last two dims to be (8k, 128k) or EQUAL to the array dims
+        jax.ShapeDtypeStruct((B, 1, D), jnp.float32),           # dbk partials
+        jax.ShapeDtypeStruct((B, 1, D), jnp.float32),           # dbv partials
     ]
     out_specs = [
         pl.BlockSpec((1, 1, blk_k, D), lambda b, g, j: (b, g, j, 0)),
         pl.BlockSpec((1, Lq_pad, D), lambda b, g, j: (b, 0, 0)),
         pl.BlockSpec((1, D, D), lambda b, g, j: (b, 0, 0)),
         pl.BlockSpec((1, D, D), lambda b, g, j: (b, 0, 0)),
-        pl.BlockSpec((1, D), lambda b, g, j: (b, 0)),
-        pl.BlockSpec((1, D), lambda b, g, j: (b, 0)),
+        pl.BlockSpec((1, 1, D), lambda b, g, j: (b, 0, 0)),
+        pl.BlockSpec((1, 1, D), lambda b, g, j: (b, 0, 0)),
     ]
     dkv, dq, dwk_p, dwv_p, dbk_p, dbv_p = pl.pallas_call(
         kernel,
@@ -383,7 +389,7 @@ def _hop1_bwd_pallas(q_proj, kv, mask, d_concat, dh, lse, wk, bk, wv, bv,
         interpret=interpret,
     )(*args)
     return (dq, dkv[:, :, :Lk, :], dwk_p.sum(0), dwv_p.sum(0),
-            dbk_p.sum(0), dbv_p.sum(0))
+            dbk_p.sum((0, 1)), dbv_p.sum((0, 1)))
 
 
 # ---------------------------------------------------------------------------
