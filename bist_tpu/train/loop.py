@@ -140,9 +140,13 @@ def run_epoch(loader, state_or_params, step_fn, epoch: int, *,
     timer = StepTimer(warmup=1)
     it = loader
     if shard is not None:
-        from bist_tpu.parallel.mesh import prefetch_to_device
+        # background-thread prefetch: the NEXT batch's disk reads, collate
+        # and H2D transfer all overlap the current step's device compute
+        # (the round-1 prefetch_to_device only overlapped via async dispatch
+        # on the main thread, serialising host IO between steps)
+        from bist_tpu.data.loader import device_prefetch
 
-        it = prefetch_to_device(iter(loader), shard, size=2)
+        it = device_prefetch(iter(loader), prepare=shard, size=2)
     # host-side step counter for dropout keys: folding in int(state.step)
     # would sync on the previous step's device output and stall the pipeline
     py_step = int(state_holder[0].step) if train else 0
