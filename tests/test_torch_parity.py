@@ -123,6 +123,10 @@ def copy_vid_layer(tv, p, cfg):
         subs += ["s2t_self", "s2t_hop1", "s2t_hop2", "s2t_ff"]
     for ts, n in zip(tv.sublayer, subs):
         copy_norm(ts.norm, p[n]["norm"])
+    if cfg.enc_st_combine in ("early_sum", "early_dyn") and cfg.both_directions:
+        copy_norm(tv.out_norm, p["out_norm"])
+        if cfg.enc_st_combine == "early_dyn":
+            copy_linear(tv.st_combine_W, p["st_combine_W"])
 
 
 def copy_ctx_layer(tc, p):
@@ -340,6 +344,46 @@ def test_forward_matches_reference_parallel_sum(ref_modules, rng):
                       ft_sizes=(24,), enc_st_combine="none",
                       enc_vc_combine="none", dec_st_combine="sum")
     params = init_model(jax.random.PRNGKey(13), cfg)
+    model, args = build_ref_model_with_our_params(ref_mtn, cfg, params)
+
+    B = 2
+
+    def toks(L):
+        x = rng.integers(4, 60, size=(B, L)).astype(np.int64)
+        x[:, -1] = PAD
+        return x
+
+    q, h_, c, t, ty = toks(5), toks(7), toks(4), toks(6), toks(6)
+    fts = rng.standard_normal((B, 3, 4, 24)).astype(np.float32)
+    ref_batch = ref_dataset.Batch(_t(q), _t(h_), [fts], _t(c), _t(t), _t(ty),
+                                  PAD, ["v0", "v1"], [0, 1])
+    with torch.no_grad():
+        ft = model.forward(ref_batch)
+        ref_logp = model.generator(ft, ref_batch, args).numpy()
+    our_batch = Batch(query=q.astype(np.int32), his=h_.astype(np.int32),
+                      trg=t.astype(np.int32), trg_y=ty.astype(np.int32),
+                      cap=c.astype(np.int32), fts=fts, audio_fts=None)
+    our_logp, _ = forward_logprobs(params, cfg, our_batch, rngs=None)
+    np.testing.assert_allclose(np.asarray(our_logp), ref_logp,
+                               rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("combine", ["early_sum", "early_dyn"])
+def test_forward_matches_reference_early_fusion(ref_modules, rng, combine):
+    """early_sum / early_dyn in-layer fusion parity (encoder.py:190-199):
+    the learned sigmoid gate weights t2s first — vs the actual reference at
+    ONE block (the reference overwrites its own (B,T,S,D) grid with the
+    fused (B,Lq,D) features under early_*, decoder.py:123-124, so >1 block
+    crashes there; we define the grid as layer-invariant)."""
+    import torch
+
+    ref_mtn, ref_dataset = ref_modules
+    cfg = ModelConfig(vocab_size=60, nb_blocks=1, nb_venc_blocks=1,
+                      nb_cenc_blocks=1, d_model=16, att_h=2, dropout=0.0,
+                      include_caption="summary", separate_caption=True,
+                      ft_sizes=(24,), enc_st_combine=combine,
+                      enc_vc_combine="none", dec_st_combine="seq")
+    params = init_model(jax.random.PRNGKey(17), cfg)
     model, args = build_ref_model_with_our_params(ref_mtn, cfg, params)
 
     B = 2
