@@ -1,6 +1,6 @@
 # Convenience targets (see README.md / CLAUDE.md for details)
 
-.PHONY: test test-fast smoke bench bench-extractor bench-kernels bench-train demo dryrun reproduce
+.PHONY: test test-fast smoke bench bench-extractor bench-kernels bench-train demo demo-tgif dryrun reproduce
 
 test:            ## full suite on CPU (virtual 8-device mesh)
 	python -m pytest tests/ -q
@@ -32,3 +32,6 @@ bench-train:     ## train-step dtype/width sweep (f32 vs bf16)
 
 reproduce:       ## download-day AVSD reproduction, synthetic rehearsal
 	bash scripts/reproduce_avsd.sh --synthetic --device cpu
+
+demo-tgif:       ## TGIF-QA (VideoQA) learning proof on synthetic features
+	bash scripts/demo_tgif.sh
