@@ -19,6 +19,7 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--device", default="")
+    p.add_argument("--bf16", type=int, default=0)
     args = p.parse_args()
     if args.device == "cpu":
         import jax
@@ -29,10 +30,14 @@ def main():
     from bist_tpu.models.resnext3d import init_resnext101, resnext101_apply
 
     params = init_resnext101(jax.random.PRNGKey(0))
-    fn = jax.jit(lambda p, c: resnext101_apply(p, c, mode="spatio_temporal"))
+    dt_ = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.bf16:
+        params = jax.tree_util.tree_map(lambda x: x.astype(dt_), params)
+    fn = jax.jit(lambda p, c: resnext101_apply(p, c, mode="spatio_temporal")
+                 .astype(jnp.float32))
     clips = jnp.asarray(
         np.random.default_rng(0).standard_normal(
-            (args.batch, 16, 112, 112, 3)), jnp.float32)
+            (args.batch, 16, 112, 112, 3)), dt_)
     np.asarray(fn(params, clips))    # compile + settle
     t0 = time.time()
     for _ in range(args.iters):

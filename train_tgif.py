@@ -105,11 +105,14 @@ def main(argv=None):
     state = {"params": params, "opt_state": tx.init(params), "step": 0}
     step = make_tgif_train_step(cfg, task, tx)
 
-    def batches(examples, shuffle=True):
+    def batches(examples, shuffle=True, drop_last=True):
+        """drop_last=True for training (stable compiled shapes); eval keeps
+        the tail batch so every example is scored (one extra compile)."""
         idx = np.arange(len(examples))
         if shuffle:
             rng.shuffle(idx)
-        for s in range(0, len(idx) - args.batch_size + 1, args.batch_size):
+        end = len(idx) - args.batch_size + 1 if drop_last else len(idx)
+        for s in range(0, max(end, 0), args.batch_size):
             exs = [examples[i] for i in idx[s:s + args.batch_size]]
             t_pad = bucket_len(max(store.shape_of(e.gif_name)[0]
                                    for e in exs), (16, 32, 48, 64))
@@ -148,11 +151,12 @@ def main(argv=None):
         test = load_tgif_tsv(args.test_tsv, task, vocab, answer_vocab)
         tot = 0.0
         n = 0
-        for batch in batches(test, shuffle=False):
+        for batch in batches(test, shuffle=False, drop_last=False):
             _, m = tgif_loss(state["params"], cfg, batch, task)
-            tot += float(m[metric_key])
-            n += 1
-        logging.info("TEST %s: %.4f over %d batches", metric_key,
+            k = len(batch.label)        # example-weighted aggregate
+            tot += float(m[metric_key]) * k
+            n += k
+        logging.info("TEST %s: %.4f over %d examples", metric_key,
                      tot / max(n, 1), n)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.model)), exist_ok=True)
