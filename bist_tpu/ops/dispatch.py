@@ -20,8 +20,12 @@ HBM around Lk ≈ 3e4-1e5 at flagship batch shapes, while the streaming
 kernels keep live memory independent of Lk.  The thresholds below therefore
 mark the capacity frontier, not a latency crossover:
 
-  flagship hop-1 at Lk = 32768: XLA's scores (8·16·8·16·32768·4 B ≈ 17 GB)
-  alone exceed v5e HBM; the fused kernel's live set stays ≈ kv-block-sized.
+  flagship hop-1 at batch 32, Lk = 32768 (8 GiB input grid): naive
+  materialisation of scores + K/V (3 × 8 GiB) would exceed the v5e's 16 GB
+  HBM; XLA survives by switching to spill-avoiding fusions, but pays for it
+  — measured 231 ms vs the streaming kernel's 176 ms (1.31×, BENCH.md).
+  So at this frontier the kernel wins on BOTH memory predictability and
+  speed; below it XLA's free-fusing schedule is faster.
 
 Numbers measured on this image's tunnelled v5e; re-run
 scripts/bench_kernels.py to recalibrate on other hardware.
