@@ -93,11 +93,11 @@ def _self_attn_sublayer(p: Params, h: int, x: jnp.ndarray, mask, drop: float,
             drop_rate=adrop, rngs=rngs), drop, rngs)
 
 
-# kv length at which the fully-fused hop-1 Pallas kernel (K/V projection +
+# grid size at which the fully-fused hop-1 Pallas kernel (K/V projection +
 # attention + out projection streamed through VMEM, ops/bist_kernels.py)
 # takes over from XLA — a MEMORY-capacity frontier, not a latency crossover
 # (measured: XLA is at the latency floor below it; ops/dispatch.py)
-from bist_tpu.ops.dispatch import HOP1_FUSED_MIN_KV
+from bist_tpu.ops.dispatch import HOP1_FUSED_MIN_GRID_BYTES
 
 
 def _hop1(p_hop: Params, h: int, drop: float, adrop: float, rngs,
@@ -105,7 +105,8 @@ def _hop1(p_hop: Params, h: int, drop: float, adrop: float, rngs,
     """Hop-1 with dispatch: x (B,Lq,D), kv_groups (B,G,Lk,D), mask (B,1,Lk)
     → x[:,None] + MHA(LN(x), kv, kv) of shape (B,G,Lq,D)."""
     normed = layer_norm(p_hop["norm"], x)
-    if rngs is None and kv_groups.shape[2] >= HOP1_FUSED_MIN_KV:
+    if rngs is None and (kv_groups.size * kv_groups.dtype.itemsize
+                         >= HOP1_FUSED_MIN_GRID_BYTES):
         from bist_tpu.models.layers import linear
         from bist_tpu.ops.bist_kernels import bist_hop1_fused
 

@@ -34,4 +34,9 @@ scripts/bench_kernels.py to recalibrate on other hardware.
 # kv length above which XLA's materialised score/K-V tensors approach HBM
 # capacity at flagship-like shapes → switch to the streaming kernels.
 FLASH_MIN_KV = 32768
-HOP1_FUSED_MIN_KV = 32768
+
+# hop-1 dispatches on TOTAL GRID BYTES, not kv length: the regime depends on
+# B·G·Lk·D, and the measured crossover sits between 4 GiB (XLA 83 ms vs
+# kernel 90 ms) and 8 GiB (XLA 231 ms vs kernel 176 ms) — i.e. where XLA's
+# ≈3× working set stops fitting the 16 GB HBM.  5 GiB ≈ HBM/3.
+HOP1_FUSED_MIN_GRID_BYTES = 5 * 2**30
