@@ -135,9 +135,9 @@ def device_prefetch(iterator, prepare=None, size: int = 2):
     current one, overlapping host collate/disk IO AND the H2D transfer with
     device compute.  Yields (prepared_batch, meta).
 
-    The training path's prefetch_to_device (parallel/mesh.py) overlaps only
-    via async dispatch on the main thread; generation is tunnel-transfer
-    bound (BENCH.md), so the loader thread matters there."""
+    Used by both the training epoch loop (train/loop.py run_epoch) and
+    generation (generate.py); the round-1 main-thread async-dispatch
+    prefetch serialised host IO between steps."""
     import queue as _queue
     import threading
 

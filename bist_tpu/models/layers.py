@@ -230,6 +230,8 @@ def mha(p: Params, h: int, query: jnp.ndarray, key: jnp.ndarray,
         mask = mask[..., None, :, :]       # add head axis
     if (allow_flash and not return_attn and rngs is None
             and K.shape[-2] >= FLASH_MIN_KV
+            and K.shape[-1] >= 64   # d_k < 64 pays up to 8x lane padding in
+                                    # the kernel; XLA wins there (BENCH.md)
             and (mask is None or mask.shape[-2] == 1)):
         x = _flash_path(Q, K, V, mask, h)
         return linear(p["wo"], merge_heads(x))

@@ -58,25 +58,6 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
     return jax.tree_util.tree_map(put, batch)
 
 
-def prefetch_to_device(iterator, shard_fn, size: int = 2):
-    """Wrap a (batch, meta) iterator so the next batch's host→device transfer
-    overlaps the current step's compute (async dispatch): device_put is
-    issued `size - 1` batches ahead.
-
-    The reference overlaps host work via DataLoader worker processes but
-    still transfers synchronously per step (train.py:30 move_to_cuda)."""
-    import collections
-
-    queue = collections.deque()
-    for item in iterator:
-        batch, meta = item
-        queue.append((shard_fn(batch), meta))
-        if len(queue) >= size:
-            yield queue.popleft()
-    while queue:
-        yield queue.popleft()
-
-
 class DataParallel:
     """Convenience wrapper: holds the mesh + shardings for a training run."""
 

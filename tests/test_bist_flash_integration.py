@@ -17,14 +17,16 @@ from bist_tpu.models.layers import layer_norm
 
 
 def test_t2s_hop_uses_flash_at_large_T(rng, monkeypatch):
+    # d_model/att_h = 64: the dispatch requires d_k >= 64 (below that the
+    # kernel pays up to 8x lane padding and XLA wins, ops/dispatch.py)
     cfg = ModelConfig(vocab_size=10, nb_blocks=2, nb_venc_blocks=2,
-                      nb_cenc_blocks=0, d_model=16, att_h=2, dropout=0.0,
+                      nb_cenc_blocks=0, d_model=128, att_h=2, dropout=0.0,
                       ft_sizes=(8,), include_caption="none",
                       enc_vc_combine="none")
     p = vid_layer_init(jax.random.PRNGKey(0), cfg)
     B, Lq, T, S = 1, 4, 64, 3
-    x = jnp.asarray(rng.standard_normal((B, Lq, 16)), jnp.float32)
-    grid = jnp.asarray(rng.standard_normal((B, T, S, 16)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, Lq, 128)), jnp.float32)
+    grid = jnp.asarray(rng.standard_normal((B, T, S, 128)), jnp.float32)
     tmask = jnp.ones((B, 1, T), jnp.int32).at[:, :, T // 2:].set(0)
 
     baseline = temporal2spatial(p, cfg, x, grid, tmask, None)
