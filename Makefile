@@ -35,3 +35,6 @@ reproduce:       ## download-day AVSD reproduction, synthetic rehearsal
 
 demo-tgif:       ## TGIF-QA (VideoQA) learning proof on synthetic features
 	bash scripts/demo_tgif.sh
+
+bench-serving:   ## dynamic-batching responder latency/throughput
+	python scripts/bench_serving.py

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Serving-runtime benchmark: request latency percentiles + throughput of
+the dynamic-batching responder under concurrent load (flagship model,
+beam 5, maxlen 12).
+
+Measures the SERVING STACK (queueing + coalescing + padded compiled beam +
+detok), with per-request feature grids shipped from the host — so on this
+image the tunnel is included, like a real request path would include a NIC.
+
+Usage: python scripts/bench_serving.py [--device cpu] [--clients 32]
+       [--requests 128] [--max-batch 32] [--t-clips 16]
+"""
+
+import argparse
+import os
+import statistics
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="")
+    ap.add_argument("--clients", type=int, default=32)
+    ap.add_argument("--requests", type=int, default=128)
+    ap.add_argument("--max-batch", type=int, default=32)
+    ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--t-clips", type=int, default=16)
+    ap.add_argument("--dv", type=int, default=2048)
+    args = ap.parse_args()
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import numpy as np
+
+    from bist_tpu.config import GenerateConfig
+    from bist_tpu.models.model import init_model
+    from bist_tpu.serving import DynamicBatcher, Responder
+    from bist_tpu.vocab import get_vocabulary
+    from __graft_entry__ import _flagship_cfg
+
+    test_json = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "dstc7avsd_eval", "data",
+        "test_set4DSTC7-AVSD.json")
+    vocab = get_vocabulary(test_json, cutoff=3, include_caption="summary")
+    cfg = _flagship_cfg(vocab_size=len(vocab), dv=args.dv)
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    gcfg = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=1)
+    responder = Responder(params, cfg, vocab, gcfg, max_batch=args.max_batch,
+                          time_buckets=(args.t_clips,))
+    print("warmup compile...", file=sys.stderr)
+    responder.warmup(feature_shape=(16, args.dv), t_clips=args.t_clips)
+    server = DynamicBatcher(responder, max_batch=args.max_batch,
+                            max_wait_ms=args.max_wait_ms)
+    server.start()
+
+    rng = np.random.default_rng(0)
+    fts_pool = [rng.standard_normal((args.t_clips, 16, args.dv))
+                .astype(np.float32) for _ in range(4)]
+    qs = ["what is the person doing in the video",
+          "is there any sound in the background",
+          "how many people are visible", "does he sit down at the end"]
+    lat = []
+    lock = threading.Lock()
+    it = iter(range(args.requests))
+
+    def client():
+        while True:
+            with lock:
+                i = next(it, None)
+            if i is None:
+                return
+            t0 = time.perf_counter()
+            server.submit(qs[i % 4], history="a man is in a room",
+                          caption="a man does things",
+                          features=fts_pool[i % 4])
+            with lock:
+                lat.append(time.perf_counter() - t0)
+
+    threads = [threading.Thread(target=client) for _ in range(args.clients)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    server.stop()
+    lat.sort()
+    p = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)] * 1e3
+    print(f"{args.requests} requests, {args.clients} clients, "
+          f"max_batch {args.max_batch}: {args.requests / wall:.1f} req/s; "
+          f"latency p50 {p(0.50):.0f} ms  p90 {p(0.90):.0f} ms  "
+          f"p99 {p(0.99):.0f} ms; batches {server.stats['batches']}")
+
+
+if __name__ == "__main__":
+    main()
