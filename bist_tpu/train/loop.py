@@ -53,18 +53,27 @@ def create_train_state(key: jax.Array, cfg: ModelConfig, tcfg: TrainConfig,
 
 def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
                     tx: optax.GradientTransformation, donate: bool = True,
-                    jit_compile: bool = True):
+                    jit_compile: bool = True, grad_accum: int = 1):
     """Returns jitted (state, batch, rng_key) → (state, metrics).
-    jit_compile=False returns the raw step for callers that compose it into
-    a larger program (e.g. scan-chained benchmarking)."""
 
-    def loss_fn(params, batch: Batch, key):
+    jit_compile=False returns the raw step for callers that compose it into
+    a larger program (e.g. scan-chained benchmarking).
+
+    grad_accum > 1 splits the batch into `grad_accum` microbatches, scans
+    them accumulating gradients (peak activation memory shrinks by the same
+    factor — combine with cfg.remat for long videos), and applies ONE
+    optimizer update.  Loss normalisers (ntokens/qntokens) are computed on
+    the FULL batch before the split, so accumulated gradients and metrics
+    are exactly the single-big-batch values (tests/test_grad_accum.py)."""
+
+    def loss_fn(params, batch: Batch, key, norm_override=None):
         # attn_dropout is active in the reference's train mode even when
         # --dropout 0 (mtn.py:77 hardcodes the MHA default 0.1)
         rngs = RngGen(key) if (cfg.dropout > 0 or cfg.attn_dropout > 0) else None
         logp, ft = forward_logprobs(params, cfg, batch, rngs=rngs)
         loss, metrics = compute_losses(logp, ft, params["embed"]["lut"], cfg,
-                                       batch, tcfg.smoothing)
+                                       batch, tcfg.smoothing,
+                                       norm_override=norm_override)
         return loss, metrics
 
     def step_fn(state: TrainState, batch: Batch, key):
@@ -76,9 +85,49 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
         metrics["loss"] = loss
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    def accum_step_fn(state: TrainState, batch: Batch, key):
+        from bist_tpu.vocab import PAD
+
+        norm = (jnp.sum(batch.trg_y != PAD), jnp.sum(batch.query != PAD))
+        micro = jax.tree_util.tree_map(
+            lambda x: None if x is None
+            else x.reshape((grad_accum, -1) + x.shape[1:]), batch,
+            is_leaf=lambda x: x is None)
+
+        def body(carry, inp):
+            grads_acc, loss_acc, metrics_acc = carry
+            mb, i = inp
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, mb,
+                                       jax.random.fold_in(key, i),
+                                       norm_override=norm)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            metrics_acc = {k: metrics_acc[k] + metrics[k] for k in metrics_acc}
+            return (grads_acc, loss_acc + loss, metrics_acc), None
+
+        zeros_like = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+        g0 = zeros_like(state.params)
+        m0 = {"out": jnp.zeros(()), "temporal_ae": jnp.zeros(()),
+              "spatial_ae": jnp.zeros(()), "cap_ae": jnp.zeros(()),
+              "audio_ae": jnp.zeros(()),
+              "ntokens": jnp.zeros((), jnp.int32),
+              "qntokens": jnp.zeros((), jnp.int32)}
+        (grads, loss, metrics), _ = jax.lax.scan(
+            body, (g0, jnp.zeros(()), m0), (micro, jnp.arange(grad_accum)))
+        # each microbatch reported the GLOBAL counts (norm_override), so the
+        # scan summed them grad_accum times — undo that
+        metrics = dict(metrics)
+        metrics["ntokens"] = metrics["ntokens"] // grad_accum
+        metrics["qntokens"] = metrics["qntokens"] // grad_accum
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["loss"] = loss
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    fn = accum_step_fn if grad_accum > 1 else step_fn
     if not jit_compile:
-        return step_fn
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        return fn
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(cfg: ModelConfig, tcfg: TrainConfig):

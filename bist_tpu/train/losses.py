@@ -48,16 +48,24 @@ def label_smoothing_kl(logp: jnp.ndarray, target: jnp.ndarray,
 
 def compute_losses(logp: jnp.ndarray, ft: Dict[str, jnp.ndarray],
                    lut: jnp.ndarray, cfg: ModelConfig, batch: Batch,
-                   smoothing: float) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                   smoothing: float, norm_override=None,
+                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total training loss + per-component unnormalised sums for logging.
 
     Returns (loss, metrics) where metrics['out'/'temporal_ae'/'spatial_ae'/
     'cap_ae'/'audio_ae'] are the *unnormalised* KL sums (reference logs
     loss·norm back, train.py:33-37) and metrics['ntokens'/'qntokens'] the
-    normalisers."""
+    normalisers.
+
+    norm_override=(ntokens, qntokens): use externally-computed normalisers —
+    gradient accumulation passes the FULL batch's counts so the sum of
+    microbatch losses equals the full-batch loss exactly (train/loop.py)."""
     V = logp.shape[-1]
-    ntokens = jnp.sum(batch.trg_y != PAD)
-    qntokens = jnp.sum(batch.query != PAD)
+    if norm_override is not None:
+        ntokens, qntokens = norm_override
+    else:
+        ntokens = jnp.sum(batch.trg_y != PAD)
+        qntokens = jnp.sum(batch.query != PAD)
     n = jnp.maximum(ntokens, 1).astype(logp.dtype)
     qn = jnp.maximum(qntokens, 1).astype(logp.dtype)
 

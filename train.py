@@ -51,6 +51,10 @@ def build_parser():
                    help="parsed for parity; d_ff is always d_model*4 (mtn.py:70)")
     p.add_argument("--att-h", default=8, type=int)
     p.add_argument("--dropout", default=0.1, type=float)
+    p.add_argument("--grad-accum", default=1, type=int,
+                   help="accumulate gradients over N microbatches per "
+                        "optimizer step (exact big-batch equivalence; peak "
+                        "activation memory /N — combine with --remat)")
     p.add_argument("--feat-int8", default=0, type=int,
                    help="ship video features to device as int8 + per-position"
                         " scale (4x less H2D; dequantised on device; opt-in —"
@@ -222,7 +226,11 @@ def main(argv=None):
         for k in vars(args):
             f.write(f"{k}={getattr(args, k)}\n")
 
-    train_step = make_train_step(cfg, tcfg, tx)
+    if args.grad_accum > 1 and args.batch_size % args.grad_accum:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must divide by "
+            f"--grad-accum {args.grad_accum}")
+    train_step = make_train_step(cfg, tcfg, tx, grad_accum=args.grad_accum)
     eval_step = make_eval_step(cfg, tcfg)
     train_log, trace_log = init_csv_logs(args.model)
     logging.info("Saving training results to %s", train_log)
