@@ -37,7 +37,11 @@ d_ff=$(( d_model*4 ))
 num_epochs=50
 warmup_steps=13000
 dropout=0.2
+attn_dropout=0.1
 batch_size=32
+grad_accum=1
+bf16=0
+feat_int8=0
 seed=1
 model_prefix=mtn
 expid=${fea_names}_${include_caption}
@@ -120,6 +124,10 @@ if [ $stage -eq 1 ]; then
       --nb-cenc-blocks $nb_cenc_blocks \
       --nb-aenc-blocks $nb_aenc_blocks \
       --t2s $t2s --s2t $s2t \
+      --attn-dropout $attn_dropout \
+      --grad-accum $grad_accum \
+      --bf16 $bf16 \
+      --feat-int8 $feat_int8 \
       --num-workers $nb_workers \
       --device "$device"
 fi
