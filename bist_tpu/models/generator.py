@@ -17,7 +17,9 @@ import jax
 import jax.numpy as jnp
 
 from bist_tpu.config import ModelConfig
-from bist_tpu.models.layers import Params, linear, linear_init, mha, mha_init
+from bist_tpu.models.layers import (
+    Params, attention_weights, linear, linear_init, mha_init, split_heads,
+)
 
 EPS_LOG = 0.0  # reference takes a bare torch.log of the mixed distribution
 
@@ -68,15 +70,29 @@ def _source(name: str, ft, tokens):
     raise ValueError(f"unknown ptr_ft source {name!r}")
 
 
+def pointer_k(p_attn: Params, encoded_text: jnp.ndarray) -> jnp.ndarray:
+    """Pre-projected pointer key tensor (B, 1, Ltext, d).  The source texts
+    are target-independent, so incremental decoding computes this ONCE per
+    batch (model.precompute_decode_ctx) instead of at every step."""
+    return split_heads(linear(p_attn["wk"], encoded_text), 1)
+
+
 def _pointer_attn(p_attn: Params, logits: jnp.ndarray, encoded_text: jnp.ndarray,
-                  mask: jnp.ndarray) -> jnp.ndarray:
+                  mask: jnp.ndarray,
+                  k: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """1-head pointer attention probabilities (B, Lt, Ltext).
 
     The reference runs a full MultiHeadedAttention(h=1, dropout=0) and reads
-    `.attn` (generator.py:62-63): q/k projections apply, the value/output
-    projections do not affect the stored probabilities."""
-    _, attn = mha(p_attn, 1, logits, encoded_text, encoded_text, mask,
-                  drop_rate=0.0, rngs=None, return_attn=True)
+    `.attn` (generator.py:62-63): only the q/k projections affect the stored
+    probabilities, so the value/output projections are never computed here
+    (their params exist for checkpoint parity but are mathematically inert
+    in the reference too — .attn is taken before they apply)."""
+    Q = split_heads(linear(p_attn["wq"], logits), 1)
+    if k is None:
+        k = pointer_k(p_attn, encoded_text)
+    if mask is not None:
+        mask = mask[..., None, :, :]
+    attn = attention_weights(Q, k, mask, 0.0, None)
     return attn[:, 0]  # drop the single head axis
 
 
@@ -88,11 +104,13 @@ def _copy_dist(attn: jnp.ndarray, text: jnp.ndarray, vocab: int) -> jnp.ndarray:
 
 def apply_generator(p: Params, cfg: ModelConfig, lut: jnp.ndarray,
                     ft: Dict[str, jnp.ndarray], tokens: Dict[str, jnp.ndarray],
-                    ft_key: str = "decoded_text") -> jnp.ndarray:
+                    ft_key: str = "decoded_text",
+                    ptr_k: Optional[list] = None) -> jnp.ndarray:
     """Log-probabilities over the vocabulary, (B, Lt, V).
 
     tokens must hold query/his/cap ids and their (B,1,L) masks (cap entries
-    may be absent when the model has no separate caption)."""
+    may be absent when the model has no separate caption).  ptr_k: optional
+    per-source pre-projected pointer keys (incremental decoding)."""
     x = ft[ft_key]
     if not cfg.ptr_gen:
         return vocab_log_softmax(lut, x)
@@ -108,7 +126,8 @@ def apply_generator(p: Params, cfg: ModelConfig, lut: jnp.ndarray,
         text, enc_text, mask = _source(name, ft, tokens)
         if cfg.mask_unk:
             mask = mask & (text != 0)[:, None, :]   # ban <unk> sources (generator.py:59-60)
-        attn = _pointer_attn(p["pointer_attn"][idx], x, enc_text, mask) \
+        attn = _pointer_attn(p["pointer_attn"][idx], x, enc_text, mask,
+                             k=None if ptr_k is None else ptr_k[idx]) \
             .astype(jnp.float32)
         copy_dists.append(_copy_dist(attn, text, vocab))
         # context vector: attn-weighted sum of the (unprojected) encoded text

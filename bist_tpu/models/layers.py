@@ -90,6 +90,38 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(x, w) + b
 
 
+# Pack same-input q/k/v (or k/v) projections into one GEMM.  MEASURED on the
+# v5e (scripts/bench_pack_ab.py, interleaved in-process A/B): train step
+# 1.02x (noise), beam decode 0.91x — the packed lowering is SLOWER for
+# decoding (the weight concat lives inside the scan body and XLA already
+# pipelines the separate small GEMMs well), so the default is OFF.  The
+# lowering is numerically identical (tests/test_pack_projections.py); flip
+# BIST_PACK_QKV=1 to re-measure on other hardware/widths.
+import os as _os
+
+PACK_PROJECTIONS = _os.environ.get("BIST_PACK_QKV", "0") != "0"
+
+
+def linear_packed(ps, x: jnp.ndarray):
+    """Apply several linears that share the same input as ONE GEMM.
+
+    Concatenating the output columns leaves each column's contraction
+    unchanged, so results are numerically identical to separate `linear`
+    calls — but the MXU sees one wider matmul instead of 2-3 sequential
+    small ones.  At BiST widths (d_model=128) the train/decode steps are
+    latency-bound on ~60 small attention sublayers (BENCH.md round-2), so
+    cutting sequential dispatches is the available win; the weight concat
+    itself is a few KB."""
+    w = jnp.concatenate([p["w"] for p in ps], axis=1)
+    b = jnp.concatenate([p["b"] for p in ps], axis=0)
+    if x.dtype != w.dtype:
+        w = w.astype(x.dtype)
+        b = b.astype(x.dtype)
+    y = jnp.matmul(x, w) + b
+    splits = np.cumsum([p["w"].shape[1] for p in ps])[:-1].tolist()
+    return jnp.split(y, splits, axis=-1)
+
+
 def layer_norm_init(d: int) -> Params:
     return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
 
@@ -223,9 +255,19 @@ def mha(p: Params, h: int, query: jnp.ndarray, key: jnp.ndarray,
     mask: broadcastable to scores' (..., 1, Lq, Lk); positions where mask == 0
     get -1e9 (modules.py:58-59).  The extra `1` head axis mirrors the
     reference's mask.unsqueeze(1) (modules.py:83-85)."""
-    Q = split_heads(linear(p["wq"], query), h)
-    K = split_heads(linear(p["wk"], key), h)
-    V = split_heads(linear(p["wv"], value), h)
+    if PACK_PROJECTIONS and query is key and key is value:
+        # self-attention: one packed QKV projection (same input object)
+        q_p, k_p, v_p = linear_packed((p["wq"], p["wk"], p["wv"]), query)
+        Q, K, V = split_heads(q_p, h), split_heads(k_p, h), split_heads(v_p, h)
+    elif PACK_PROJECTIONS and key is value:
+        # cross-attention: packed KV projection reads the memory once
+        Q = split_heads(linear(p["wq"], query), h)
+        k_p, v_p = linear_packed((p["wk"], p["wv"]), key)
+        K, V = split_heads(k_p, h), split_heads(v_p, h)
+    else:
+        Q = split_heads(linear(p["wq"], query), h)
+        K = split_heads(linear(p["wk"], key), h)
+        V = split_heads(linear(p["wv"], value), h)
     if mask is not None:
         mask = mask[..., None, :, :]       # add head axis
     if (allow_flash and not return_attn and rngs is None

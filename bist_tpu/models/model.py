@@ -33,12 +33,23 @@ from bist_tpu.models import bist
 from bist_tpu.models.generator import apply_generator, generator_init
 from bist_tpu.models.layers import (
     Params, RngGen, add_positional, attention_weights, embed, embedding_init,
-    layer_norm, layer_norm_init, linear, linear_init, merge_heads, mha,
-    mha_init, positional_encoding_table, split_heads, subsequent_mask,
+    layer_norm, layer_norm_init, linear, linear_init, linear_packed,
+    merge_heads, mha, mha_init, positional_encoding_table, split_heads,
+    subsequent_mask,
 )
 from bist_tpu.vocab import PAD
 
 FT = Dict[str, jnp.ndarray]
+
+# Pre-project pointer-attention keys once per batch in the decode context
+# (vs re-projecting every step).  MEASURED SLOWER on the v5e (0.93x,
+# scripts/bench_pack_ab.py --what ptrk, interleaved in-process A/B): the
+# per-step reprojection fuses into the attention einsum while the
+# precomputed K is an extra HBM-resident buffer carried through the scan.
+# Default OFF; numerically identical either way.  Read at trace time.
+import os as _os
+
+PTR_K_PRECOMPUTE = _os.environ.get("BIST_PTR_K", "0") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -210,6 +221,7 @@ class DecodeCtx(NamedTuple):
     masks: Dict[str, Optional[jnp.ndarray]]
     ft: FT                      # encoded_query/cap/his (+ encoded_ft etc. unused)
     tokens: Dict[str, jnp.ndarray]
+    ptr_k: Tuple[jnp.ndarray, ...]   # per-source pre-projected pointer keys
 
 
 class DecodeCache(NamedTuple):
@@ -219,9 +231,13 @@ class DecodeCache(NamedTuple):
 
 
 def _cross_kv(p_attn: Params, h: int, memory: jnp.ndarray):
-    K = split_heads(linear(p_attn["wk"], memory), h)
-    V = split_heads(linear(p_attn["wv"], memory), h)
-    return K, V
+    from bist_tpu.models import layers as _layers
+
+    if _layers.PACK_PROJECTIONS:
+        k_p, v_p = linear_packed((p_attn["wk"], p_attn["wv"]), memory)
+        return split_heads(k_p, h), split_heads(v_p, h)
+    return (split_heads(linear(p_attn["wk"], memory), h),
+            split_heads(linear(p_attn["wv"], memory), h))
 
 
 def precompute_decode_ctx(params: Params, cfg: ModelConfig,
@@ -246,7 +262,17 @@ def precompute_decode_ctx(params: Params, cfg: ModelConfig,
     toks = generator_tokens(batch, masks)
     keep = ("encoded_query", "encoded_cap", "encoded_his")
     ctx_ft = {k: v for k, v in ft.items() if k in keep}
-    return DecodeCtx(layer_kv=tuple(layer_kv), masks=masks, ft=ctx_ft, tokens=toks)
+    # pre-project the pointer-attention keys (sources are target-independent)
+    ptr_k = ()
+    if cfg.ptr_gen and PTR_K_PRECOMPUTE:
+        from bist_tpu.models.generator import _source, pointer_k
+
+        ptr_k = tuple(
+            pointer_k(params["gen"]["pointer_attn"][i],
+                      _source(name, ctx_ft, toks)[1])
+            for i, name in enumerate(cfg.ptr_ft_list))
+    return DecodeCtx(layer_kv=tuple(layer_kv), masks=masks, ft=ctx_ft,
+                     tokens=toks, ptr_k=ptr_k)
 
 
 def init_cache(cfg: ModelConfig, batch_size: int, max_len: int) -> DecodeCache:
@@ -262,9 +288,17 @@ def _mha_cached_self(p_attn: Params, h: int, x: jnp.ndarray,
 
     x: (B, 1, D) normed input; cache_k/v: (B, h, Lmax, d_k); pos: scalar index
     of the current position.  Returns (out (B,1,D), new_k, new_v)."""
-    Q = split_heads(linear(p_attn["wq"], x), h)          # (B, h, 1, dk)
-    K1 = split_heads(linear(p_attn["wk"], x), h)
-    V1 = split_heads(linear(p_attn["wv"], x), h)
+    from bist_tpu.models import layers as _layers
+
+    if _layers.PACK_PROJECTIONS:
+        q_p, k_p, v_p = linear_packed(
+            (p_attn["wq"], p_attn["wk"], p_attn["wv"]), x)
+    else:
+        q_p, k_p, v_p = (linear(p_attn["wq"], x), linear(p_attn["wk"], x),
+                         linear(p_attn["wv"], x))
+    Q = split_heads(q_p, h)                              # (B, h, 1, dk)
+    K1 = split_heads(k_p, h)
+    V1 = split_heads(v_p, h)
     cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, K1, pos, axis=2)
     cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, V1, pos, axis=2)
     Lmax = cache_k.shape[2]
@@ -342,5 +376,6 @@ def decode_step(params: Params, cfg: ModelConfig, ctx: DecodeCtx,
     ft["decoded_text"] = decoded
     ft["encoded_tgt"] = encoded_tgt
     logp = apply_generator(params["gen"], cfg, params["embed"]["lut"], ft,
-                           ctx.tokens)                        # (B, 1, V)
+                           ctx.tokens,
+                           ptr_k=list(ctx.ptr_k) if ctx.ptr_k else None)  # (B, 1, V)
     return logp[:, 0], DecodeCache(k=jnp.stack(new_k), v=jnp.stack(new_v))

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Interleaved A/B benchmark: packed vs separate q/k/v projections.
+
+Separate-process A/B on this image's tunnelled TPU is drowned by tunnel
+weather (±20% run to run).  This script compiles BOTH lowerings in one
+process — bist_tpu.models.layers.PACK_PROJECTIONS is read at trace time, so
+two distinct jit wrappers traced under different flag values produce the two
+programs — and interleaves timed reps ABAB... in the same tunnel window.
+Chain-difference methodology as scripts/bench_train.py (block_until_ready
+does not sync over this tunnel; only host fetches do).
+
+Usage: python scripts/bench_pack_ab.py [--device cpu] [--iters 8] [--reps 5]
+       [--what train|decode|both]
+"""
+
+import argparse
+import os
+import statistics
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--what", default="both",
+                    choices=["train", "decode", "ptrk", "both"])
+    args = ap.parse_args()
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bist_tpu.config import GenerateConfig, ModelConfig, TrainConfig
+    from bist_tpu.data.batching import Batch
+    from bist_tpu.decode.beam import beam_search
+    from bist_tpu.models import layers
+    from bist_tpu.models.model import init_model
+    from bist_tpu.train.loop import TrainState, make_train_step
+    from bist_tpu.train.schedule import make_optimizer
+
+    dev = jax.devices()[0]
+    n_it = args.iters
+    print(f"device: {dev.platform} ({dev.device_kind}), batch={args.batch}, "
+          f"chained steps={n_it}, reps={args.reps} interleaved", file=sys.stderr)
+    rng = np.random.default_rng(0)
+    B, Lq, Lh, Lc, Lt, T, S, Dv = args.batch, 16, 64, 16, 16, 16, 16, 2048
+    V = 4000
+
+    def toks(L):
+        x = rng.integers(4, V, size=(B, L)).astype(np.int32)
+        x[:, -1] = 1
+        return x
+
+    batch = Batch(query=toks(Lq), his=toks(Lh), trg=toks(Lt), trg_y=toks(Lt),
+                  cap=toks(Lc),
+                  fts=rng.standard_normal((B, T, S, Dv)).astype(np.float32),
+                  audio_fts=None)
+    batch = jax.tree_util.tree_map(
+        lambda x: None if x is None else jax.device_put(x), batch,
+        is_leaf=lambda x: x is None)
+
+    cfg = ModelConfig(vocab_size=V, nb_blocks=3, nb_venc_blocks=3,
+                      nb_cenc_blocks=3, d_model=128, att_h=8, dropout=0.2,
+                      include_caption="summary", separate_caption=True,
+                      ft_sizes=(Dv,), enc_st_combine="none",
+                      enc_vc_combine="dyn", dec_st_combine="seq")
+    tcfg = TrainConfig(warmup_steps=13000, batch_size=B)
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(cfg.d_model, tcfg.warmup_steps)
+    state = jax.device_put(TrainState(params=params, opt_state=tx.init(params),
+                                      step=jnp.zeros((), jnp.int32)))
+    key = jax.device_put(jax.random.PRNGKey(1))
+
+    def build_train_chain(pack: bool):
+        layers.PACK_PROJECTIONS = pack
+        raw_step = make_train_step(cfg, tcfg, tx, jit_compile=False)
+
+        @partial(jax.jit, static_argnames="n")
+        def chain(state, batch, key, n):
+            def body(s, i):
+                s2, m = raw_step(s, batch, jax.random.fold_in(key, i))
+                return s2, m["loss"]
+
+            _, losses = jax.lax.scan(body, state, jnp.arange(n))
+            return jnp.sum(losses)
+
+        # warm both chain lengths NOW, while the flag is set (trace time)
+        for n in (n_it, 2 * n_it):
+            float(chain(state, batch, key, n=n))
+        return chain
+
+    gcfg = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5)
+
+    from bist_tpu.models import model as model_mod
+
+    def build_decode_chain(pack: bool, ptrk: bool = True):
+        layers.PACK_PROJECTIONS = pack
+        model_mod.PTR_K_PRECOMPUTE = ptrk
+
+        @partial(jax.jit, static_argnames="n")
+        def chain(params, batch, n):
+            def body(c, _):
+                # data-dependence between iterations, or XLA CSEs the
+                # identical beam programs into one (measured: it does).
+                # flag is always 0 but unprovably so at compile time.
+                flag = jnp.where(jnp.isnan(c), 1, 0).astype(jnp.int32)
+                b2 = batch._replace(query=batch.query + flag)
+                r = beam_search(params, cfg, b2, gcfg)
+                return c + jnp.sum(r.scores), None
+
+            out, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+            return out
+
+        for n in (2, 6):
+            float(chain(params, batch, n=n))
+        return chain
+
+    def timed(fn, reps):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return ts
+
+    def interleave(fa, fb, reps):
+        a, b = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter(); fa(); a.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); fb(); b.append(time.perf_counter() - t0)
+        return statistics.median(a), statistics.median(b)
+
+    if args.what in ("train", "both"):
+        ch_pack = build_train_chain(True)
+        ch_sep = build_train_chain(False)
+        pa_n, se_n = interleave(lambda: float(ch_pack(state, batch, key, n=n_it)),
+                                lambda: float(ch_sep(state, batch, key, n=n_it)),
+                                args.reps)
+        pa_2n, se_2n = interleave(
+            lambda: float(ch_pack(state, batch, key, n=2 * n_it)),
+            lambda: float(ch_sep(state, batch, key, n=2 * n_it)), args.reps)
+        pa = max(pa_2n - pa_n, 0.0) / n_it * 1e3
+        se = max(se_2n - se_n, 0.0) / n_it * 1e3
+        print(f"train step  packed: {pa:.2f} ms  separate: {se:.2f} ms  "
+              f"(packed speedup {se / max(pa, 1e-9):.3f}x)")
+
+    if args.what == "ptrk":
+        dc_pack = build_decode_chain(False, ptrk=True)   # A = ptr_k precomputed
+        dc_sep = build_decode_chain(False, ptrk=False)   # B = per-step reproject
+    if args.what in ("decode", "ptrk", "both"):
+        if args.what != "ptrk":
+            dc_pack = build_decode_chain(True)
+            dc_sep = build_decode_chain(False)
+        pa_1, se_1 = interleave(lambda: float(dc_pack(params, batch, n=2)),
+                                lambda: float(dc_sep(params, batch, n=2)),
+                                args.reps)
+        pa_2, se_2 = interleave(lambda: float(dc_pack(params, batch, n=6)),
+                                lambda: float(dc_sep(params, batch, n=6)),
+                                args.reps)
+        pa = max(pa_2 - pa_1, 0.0) / 4 * 1e3
+        se = max(se_2 - se_1, 0.0) / 4 * 1e3
+        la, lb = (("ptr_k-pre", "reproject") if args.what == "ptrk"
+                  else ("packed", "separate"))
+        print(f"beam batch  {la}: {pa:.2f} ms  {lb}: {se:.2f} ms  "
+              f"(A speedup {se / max(pa, 1e-9):.3f}x; batch {B}, "
+              f"{B / max(pa, 1e-9) * 1e3:.0f} vs {B / max(se, 1e-9) * 1e3:.0f} resp/s)")
+
+
+if __name__ == "__main__":
+    main()
