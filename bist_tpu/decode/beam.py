@@ -163,6 +163,20 @@ def greedy_decode(params, cfg: ModelConfig, batch: Batch,
     return jnp.moveaxis(out, 0, 1)  # (B, maxlen)
 
 
+def oracle_decode(params, cfg: ModelConfig, batch: Batch) -> jnp.ndarray:
+    """Teacher-forced argmax: the model's most-likely token at every target
+    position given the GROUND-TRUTH prefix.  Returns (B, Lt) token ids.
+
+    Working replacement for the reference's dead oracle path
+    (decode.py:13-27 calls a nonexistent free `encode()` and `batch.his_st`,
+    so `--decode-style` oracle crashes there).  Requires labeled targets
+    (batch.trg), i.e. a labeled test set rather than --undisclosed-only."""
+    from bist_tpu.models.model import forward_logprobs
+
+    logp, _ = forward_logprobs(params, cfg, batch, rngs=None)
+    return jnp.argmax(logp, axis=-1).astype(jnp.int32)
+
+
 def extract_hyps(result: BeamResult, id2word: List[str],
                  row: int, nbest: int) -> List[Tuple[List[str], float]]:
     """Host-side: decode the nbest hypotheses of one batch row to words.

@@ -73,7 +73,8 @@ def main(argv=None):
     from bist_tpu.data.avsd import load_avsd
     from bist_tpu.data.features import build_stores
     from bist_tpu.data.loader import AVSDLoader
-    from bist_tpu.decode.beam import beam_search, extract_hyps, greedy_decode
+    from bist_tpu.decode.beam import (beam_search, extract_hyps, greedy_decode,
+                                      oracle_decode)
     from bist_tpu.models.model import init_model
     from bist_tpu.train.checkpoint import load_checkpoint
     from bist_tpu.vocab import EOS, ids2words, make_id2word
@@ -140,6 +141,15 @@ def main(argv=None):
     n_done = 0
     beam_jit = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
     greedy_jit = jax.jit(lambda p, b: greedy_decode(p, cfg, b, gcfg.maxlen))
+    # oracle = teacher-forced argmax; needs labeled targets (reference's dead
+    # oracle_decode path, made to work — see decode/beam.py:oracle_decode)
+    oracle_jit = jax.jit(lambda p, b: oracle_decode(p, cfg, b))
+    if gcfg.decode_style == "oracle" and args.undisclosed_only:
+        raise SystemExit("--decode-style oracle requires labeled targets; "
+                         "run without --undisclosed-only")
+    if args.ensemble and gcfg.decode_style != "beam_search":
+        raise SystemExit("--ensemble is only supported with "
+                         "--decode-style beam_search")
     from bist_tpu.data.batching import quantize_features
     from bist_tpu.data.loader import device_prefetch
     from bist_tpu.decode.beam import BeamResult
@@ -178,8 +188,9 @@ def main(argv=None):
 
     pending = None
     for batch, meta in device_prefetch(iter(loader), prepare, size=2):
-        fut = (beam_jit if gcfg.decode_style == "beam_search"
-               else greedy_jit)(params, batch)
+        step_jit = {"beam_search": beam_jit,
+                    "oracle": oracle_jit}.get(gcfg.decode_style, greedy_jit)
+        fut = step_jit(params, batch)
         if pending is not None:
             drain(pending)
         pending = (fut, meta)

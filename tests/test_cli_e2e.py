@@ -1,6 +1,6 @@
 """CLI end-to-end smoke — the in-suite version of the reference's test_mode
-pipeline (SURVEY §4.1): train → generate (beam + greedy) → evaluate via the
-actual entry-point scripts on tiny synthetic data, CPU."""
+pipeline (SURVEY §4.1): train → generate (beam + greedy + oracle) → evaluate
+via the actual entry-point scripts on tiny synthetic data, CPU."""
 
 import json
 import os
@@ -60,7 +60,7 @@ def test_train_artifacts(trained):
     assert any(l.split(",")[1] == "val" for l in trace_csv[1:])
 
 
-@pytest.mark.parametrize("style", ["beam_search", "greedy"])
+@pytest.mark.parametrize("style", ["beam_search", "greedy", "oracle"])
 def test_generate_and_evaluate(trained, tmp_path, style):
     synth, model = trained
     out = str(tmp_path / f"result_{style}.json")
