@@ -25,7 +25,7 @@ calls a nonexistent free `encode()`) with working argmax decoding.
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

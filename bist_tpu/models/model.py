@@ -21,7 +21,6 @@ O(beam·L²) full forward passes per response."""
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -34,7 +33,7 @@ from bist_tpu.models.generator import apply_generator, generator_init
 from bist_tpu.models.layers import (
     Params, RngGen, add_positional, attention_weights, embed, embedding_init,
     layer_norm, layer_norm_init, linear, linear_init, linear_packed,
-    merge_heads, mha, mha_init, positional_encoding_table, split_heads,
+    merge_heads, positional_encoding_table, split_heads,
     subsequent_mask,
 )
 from bist_tpu.vocab import PAD

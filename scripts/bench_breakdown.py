@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Train-step time breakdown at the flagship configuration.
+
+Measures nested prefixes of the step — encode, + decoder forward,
++ generator, + losses, + backward, + Adam update — each as a chain-difference
+timing (see scripts/bench_train.py for why: block_until_ready does not sync
+over this image's TPU tunnel).  Every chain threads an unprovably-zero
+perturbation of the inputs through its iterations so XLA cannot CSE the
+repeated applications into one (hazard documented in BENCH.md).
+
+Stage deltas approximate the cost of each component; they are measured
+sequentially on a shared tunnel, so treat ±10-20% as noise.
+
+Usage: python scripts/bench_breakdown.py [--device cpu] [--iters 8] [--reps 5]
+"""
+
+import argparse
+import os
+import statistics
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args()
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bist_tpu.config import ModelConfig, TrainConfig
+    from bist_tpu.data.batching import Batch
+    from bist_tpu.models.model import (
+        apply_model, encode, forward_logprobs, init_model,
+    )
+    from bist_tpu.train.loop import TrainState, make_train_step
+    from bist_tpu.train.losses import compute_losses
+    from bist_tpu.train.schedule import make_optimizer
+
+    dev = jax.devices()[0]
+    n_it = args.iters
+    print(f"device: {dev.platform} ({dev.device_kind}), batch={args.batch}, "
+          f"chained steps={n_it}", file=sys.stderr)
+    rng = np.random.default_rng(0)
+    B, Lq, Lh, Lc, Lt, T, S, Dv = args.batch, 16, 64, 16, 16, 16, 16, 2048
+    V = 4000
+
+    def toks(L):
+        x = rng.integers(4, V, size=(B, L)).astype(np.int32)
+        x[:, -1] = 1
+        return x
+
+    batch = Batch(query=toks(Lq), his=toks(Lh), trg=toks(Lt), trg_y=toks(Lt),
+                  cap=toks(Lc),
+                  fts=rng.standard_normal((B, T, S, Dv)).astype(np.float32),
+                  audio_fts=None)
+    batch = jax.tree_util.tree_map(
+        lambda x: None if x is None else jax.device_put(x), batch,
+        is_leaf=lambda x: x is None)
+
+    cfg = ModelConfig(vocab_size=V, nb_blocks=3, nb_venc_blocks=3,
+                      nb_cenc_blocks=3, d_model=128, att_h=8, dropout=0.2,
+                      include_caption="summary", separate_caption=True,
+                      ft_sizes=(Dv,), enc_st_combine="none",
+                      enc_vc_combine="dyn", dec_st_combine="seq")
+    tcfg = TrainConfig(warmup_steps=13000, batch_size=B)
+    params = jax.device_put(init_model(jax.random.PRNGKey(0), cfg))
+    tx = make_optimizer(cfg.d_model, tcfg.warmup_steps)
+    state = jax.device_put(TrainState(params=params, opt_state=tx.init(params),
+                                      step=jnp.zeros((), jnp.int32)))
+    key = jax.device_put(jax.random.PRNGKey(1))
+    raw_step = make_train_step(cfg, tcfg, tx, jit_compile=False)
+
+    def perturbed(batch, c):
+        flag = jnp.where(jnp.isnan(c), 1, 0).astype(jnp.int32)
+        return batch._replace(query=batch.query + flag)
+
+    # each stage: batch -> scalar (all feed the same chain harness)
+    def s_encode(b):
+        ft = encode(params, cfg, b, None)
+        return sum(jnp.sum(v).astype(jnp.float32) for v in ft.values())
+
+    def s_decoder(b):
+        ft = apply_model(params, cfg, b, None)
+        return jnp.sum(ft["decoded_text"]).astype(jnp.float32)
+
+    def s_generator(b):
+        logp, _ = forward_logprobs(params, cfg, b, None)
+        return jnp.sum(logp).astype(jnp.float32)
+
+    def s_loss(b):
+        logp, ft = forward_logprobs(params, cfg, b, None)
+        loss, _ = compute_losses(logp, ft, params["embed"]["lut"], cfg, b,
+                                 tcfg.smoothing)
+        return loss
+
+    def s_grad(b):
+        def lf(p):
+            logp, ft = forward_logprobs(p, cfg, b, None)
+            loss, _ = compute_losses(logp, ft, p["embed"]["lut"], cfg, b,
+                                     tcfg.smoothing)
+            return loss
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        return loss + jnp.sum(grads["embed"]["lut"][0]).astype(jnp.float32)
+
+    stages = [("encode (text norms + vid proj)", s_encode),
+              ("+ decoder forward", s_decoder),
+              ("+ generator log-probs", s_generator),
+              ("+ losses (incl. 4 AE generator passes)", s_loss),
+              ("+ backward (value_and_grad)", s_grad)]
+
+    def make_chain(fn):
+        @partial(jax.jit, static_argnames="n")
+        def chain(batch, n):
+            def body(c, _):
+                return c + fn(perturbed(batch, c)), None
+
+            out, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+            return out
+
+        return chain
+
+    def timed(call):
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            call()
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts)
+
+    results = []
+    for name, fn in stages:
+        ch = make_chain(fn)
+        for n in (n_it, 2 * n_it):
+            float(ch(batch, n=n))     # compile + warm
+        t1 = timed(lambda: float(ch(batch, n=n_it)))
+        t2 = timed(lambda: float(ch(batch, n=2 * n_it)))
+        ms = max(t2 - t1, 0.0) / n_it * 1e3
+        results.append((name, ms))
+        print(f"{name}: {ms:.2f} ms", file=sys.stderr)
+
+    # full optimizer step (dropout active, Adam update) via the real step fn
+    @partial(jax.jit, static_argnames="n")
+    def step_chain(state, batch, key, n):
+        def body(s, i):
+            s2, m = raw_step(s, batch, jax.random.fold_in(key, i))
+            return s2, m["loss"]
+
+        _, losses = jax.lax.scan(body, state, jnp.arange(n))
+        return jnp.sum(losses)
+
+    for n in (n_it, 2 * n_it):
+        float(step_chain(state, batch, key, n=n))
+    t1 = timed(lambda: float(step_chain(state, batch, key, n=n_it)))
+    t2 = timed(lambda: float(step_chain(state, batch, key, n=2 * n_it)))
+    full = max(t2 - t1, 0.0) / n_it * 1e3
+    results.append(("full train step (dropout + Adam)", full))
+    print(f"full train step: {full:.2f} ms", file=sys.stderr)
+
+    print(f"\n## Train-step breakdown ({dev.device_kind}, batch {B}, "
+          f"flagship d128 config)\n")
+    print("| cumulative stage | ms | delta vs previous |")
+    print("|---|---|---|")
+    prev = 0.0
+    for name, ms in results:
+        print(f"| {name} | {ms:.2f} | {ms - prev:+.2f} |")
+        prev = ms
+
+
+if __name__ == "__main__":
+    main()
