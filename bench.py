@@ -10,7 +10,13 @@ K/V.
 
 Setup: flagship reference configuration (d_model=128, att_h=8, 3/3/3 blocks,
 summary caption, pointer generator; reference scripts/exec.sh:24-37), beam=5,
-maxlen=12, nbest=5 (exec.sh:50-53).  Inputs are real AVSD test-set turns
+maxlen=12, nbest=5 (exec.sh:50-53).  Dispatch is CHAINED by default (one jit
+call per clip-count bucket runs its whole share of the schedule as a
+lax.scan of beam batches): this harness reaches its TPU through a tunnel
+whose per-call dispatch overhead would otherwise leak into the measurement
+(mostly pipelined by async dispatch; measured +5% at B=64, larger at small
+batches); a production host dispatches in microseconds and the chip-side
+work per response is identical.  BENCH_CHAIN=0 restores per-call dispatch.  Inputs are real AVSD test-set turns
 (vendored dstc7avsd_eval/data/test_set4DSTC7-AVSD.json — real question /
 history / caption lengths) with randomly initialised weights and random
 ResNeXt-grid features in bfloat16 (quality is covered by the metric goldens
@@ -63,7 +69,7 @@ def main():
                      separate_caption=True, undisclosed_only=True)
 
     B = int(os.environ.get("BENCH_BATCH", "64"))
-    n_batches = int(os.environ.get("BENCH_BATCHES", "8"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "16"))
     gcfg = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5)
 
     # random bf16 feature grids with realistic clip counts, reused across
@@ -139,28 +145,68 @@ def main():
         staged[t_pad] = jax.device_put(b)
         jax.block_until_ready(staged[t_pad].fts)
 
-    # warm up one compile per distinct T bucket
-    for t_pad, batch in staged.items():
-        np.asarray(beam_jit(params, batch).scores)
+    # Two dispatch modes:
+    #   chained (default): ONE jit call per T bucket runs that bucket's whole
+    #     share of the schedule as a lax.scan of beam batches (consecutive
+    #     iterations made data-dependent via an unprovably-zero perturbation,
+    #     so XLA cannot CSE them — BENCH.md methodology note).  This removes
+    #     this harness's ~15 ms/call remote-dispatch RTT (tunnelled TPU) from
+    #     the measurement; a production host dispatches in microseconds, and
+    #     chip-side work per response is identical.
+    #   BENCH_CHAIN=0: one host dispatch per batch (includes the tunnel's
+    #     per-call RTT; round-1/2 behaviour).
+    chained = os.environ.get("BENCH_CHAIN", "1") != "0"
+    from collections import Counter as _C
 
-    # timed: batched beam-search decode over the bucket-weighted schedule,
-    # results drained to host
-    n_resp = 0
-    t0 = time.time()
-    results = []
-    for t_pad in schedule:
-        results.append(beam_jit(params, staged[t_pad]))
-        n_resp += B
-    for r in results:
-        np.asarray(r.scores)     # drain
-    dt = time.time() - t0
+    sched_count = _C(schedule)
+
+    if chained:
+        from functools import partial
+
+        @partial(jax.jit, static_argnames="n")
+        def beam_chain(p, b, n):
+            def body(c, _):
+                flag = jnp.where(jnp.isnan(c), 1, 0).astype(jnp.int32)
+                b2 = b._replace(query=b.query + flag)
+                r = beam_search(p, cfg, b2, gcfg)
+                return c + jnp.sum(r.scores), None
+
+            out, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+            return out
+
+        # warm up one compile per distinct (T bucket, chain length)
+        for t_pad, k in sched_count.items():
+            float(beam_chain(params, staged[t_pad], n=k))
+        n_resp = 0
+        t0 = time.time()
+        outs = []
+        for t_pad, k in sched_count.items():
+            outs.append(beam_chain(params, staged[t_pad], n=k))
+            n_resp += k * B
+        for o in outs:
+            float(o)             # drain
+        dt = time.time() - t0
+    else:
+        # warm up one compile per distinct T bucket
+        for t_pad, batch in staged.items():
+            np.asarray(beam_jit(params, batch).scores)
+        n_resp = 0
+        t0 = time.time()
+        results = []
+        for t_pad in schedule:
+            results.append(beam_jit(params, staged[t_pad]))
+            n_resp += B
+        for r in results:
+            np.asarray(r.scores)     # drain
+        dt = time.time() - t0
     rps = n_resp / dt
 
     print(json.dumps({
         "metric": "avsd_generation_throughput",
         "value": round(rps, 2),
         "unit": ("responses/sec/chip (beam=5, maxlen=12, d_model=128, "
-                 "feature grids staged in HBM)"),
+                 "feature grids staged in HBM"
+                 + (", chained dispatch)" if chained else ")")),
         "vs_baseline": round(rps / REFERENCE_GPU_RESP_PER_SEC, 2),
     }))
 
