@@ -62,7 +62,7 @@ def ref_train_modules():
 
 def _make_batches(rng, n, cfg):
     """n aligned (ref_batch_args, our_batch) pairs with fixed static shapes."""
-    B, Lq, Lh, Lc, Lt, T, S = 2, 5, 7, 4, 6, 3, 4
+    B, Lq, Lh, Lc, Lt, T, S, Ta = 2, 5, 7, 4, 6, 3, 4, 5
     pairs = []
     for _ in range(n):
         def toks(L):
@@ -73,14 +73,29 @@ def _make_batches(rng, n, cfg):
         q, h_, c, t, ty = toks(Lq), toks(Lh), toks(Lc), toks(Lt), toks(Lt)
         fts = rng.standard_normal((B, T, S, cfg.ft_sizes[0])).astype(np.float32)
         fts[:, -1] = 0.0
+        audio = None
+        if cfg.has_audio:
+            audio = rng.standard_normal((B, Ta, cfg.ft_sizes[1])) \
+                .astype(np.float32)
+            audio[:, -1] = 0.0
         ours = Batch(query=q.astype(np.int32), his=h_.astype(np.int32),
                      trg=t.astype(np.int32), trg_y=ty.astype(np.int32),
-                     cap=c.astype(np.int32), fts=fts, audio_fts=None)
-        pairs.append(((q, h_, fts, c, t, ty), ours))
+                     cap=c.astype(np.int32), fts=fts, audio_fts=audio)
+        pairs.append(((q, h_, fts, c, t, ty, audio), ours))
     return pairs
 
 
-def test_training_dynamics_match_reference(ref_train_modules, rng):
+_VARIANTS = {
+    # the flagship-shaped visual config (pointer gen, dyn vc fusion)
+    "visual": dict(ft_sizes=(24,), nb_aenc_blocks=0),
+    # + VGGish-style audio: exercises the audio AE loss backward, the 4-way
+    # dyn fusion and the audio cross-attention under the optimizer
+    "audio": dict(ft_sizes=(24, 12), nb_aenc_blocks=2),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(_VARIANTS))
+def test_training_dynamics_match_reference(ref_train_modules, rng, variant):
     import torch
 
     ref_mtn, ref_dataset, ref_optimize, ref_ls = ref_train_modules
@@ -88,8 +103,9 @@ def test_training_dynamics_match_reference(ref_train_modules, rng):
                       nb_cenc_blocks=2, d_model=16, att_h=2, dropout=0.0,
                       attn_dropout=0.0,  # see model.eval() note below
                       include_caption="summary", separate_caption=True,
-                      ft_sizes=(24,), enc_st_combine="none",
-                      enc_vc_combine="dyn", dec_st_combine="seq")
+                      enc_st_combine="none",
+                      enc_vc_combine="dyn", dec_st_combine="seq",
+                      **_VARIANTS[variant])
     tcfg = TrainConfig(warmup_steps=WARMUP, smoothing=0.1, noam_factor=1.0)
     params = init_model(jax.random.PRNGKey(7), cfg)
     model, args = build_ref_model_with_our_params(ref_mtn, cfg, params)
@@ -112,9 +128,10 @@ def test_training_dynamics_match_reference(ref_train_modules, rng):
         model.generator, model.ae_generator, criterion, opt=opt, args=args)
     ref_traj = []
     for i in range(STEPS):
-        (q, h_, fts, c, t, ty), _ = pairs[i % len(pairs)]
+        (q, h_, fts, c, t, ty, audio), _ = pairs[i % len(pairs)]
         rb = ref_dataset.Batch(_t(q), _t(h_), [fts], _t(c), _t(t), _t(ty),
-                               PAD, ["v0", "v1"], [0, 1])
+                               PAD, ["v0", "v1"], [0, 1],
+                               audio_fts=None if audio is None else [audio])
         ft = model.forward(rb)
         losses = loss_compute(ft, rb)  # backward + opt.step inside
         ref_traj.append([float(losses["out"]),
@@ -141,9 +158,10 @@ def test_training_dynamics_match_reference(ref_train_modules, rng):
 
     # (b) final params agree functionally: eval forward on held-out batch
     model.eval()
-    (q, h_, fts, c, t, ty), our_eval = eval_pair
+    (q, h_, fts, c, t, ty, audio), our_eval = eval_pair
     rb = ref_dataset.Batch(_t(q), _t(h_), [fts], _t(c), _t(t), _t(ty),
-                           PAD, ["v0", "v1"], [0, 1])
+                           PAD, ["v0", "v1"], [0, 1],
+                           audio_fts=None if audio is None else [audio])
     with torch.no_grad():
         ref_logp = model.generator(model.forward(rb), rb, args).numpy()
     our_logp, _ = forward_logprobs(state.params, cfg, our_eval, rngs=None)
