@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--what", default="both",
-                    choices=["train", "decode", "ptrk", "both"])
+                    choices=["train", "decode", "ptrk", "prng", "both"])
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
@@ -139,6 +139,28 @@ def main():
             t0 = time.perf_counter(); fa(); a.append(time.perf_counter() - t0)
             t0 = time.perf_counter(); fb(); b.append(time.perf_counter() - t0)
         return statistics.median(a), statistics.median(b)
+
+    if args.what == "prng":
+        # dropout RNG impl A/B: threefry (jax default; ~60 fold_in+bernoulli
+        # sites per step, each a software threefry chain) vs rbg (TPU
+        # hardware RNG instruction).  Same step function; the key's impl
+        # decides the lowering.
+        ch = build_train_chain(False)
+        key_tf = jax.device_put(jax.random.PRNGKey(1))
+        key_rbg = jax.device_put(jax.random.key(1, impl="rbg"))
+        for k in (key_tf, key_rbg):
+            for n in (n_it, 2 * n_it):
+                float(ch(state, batch, k, n=n))
+        a_n, b_n = interleave(lambda: float(ch(state, batch, key_rbg, n=n_it)),
+                              lambda: float(ch(state, batch, key_tf, n=n_it)),
+                              args.reps)
+        a_2n, b_2n = interleave(
+            lambda: float(ch(state, batch, key_rbg, n=2 * n_it)),
+            lambda: float(ch(state, batch, key_tf, n=2 * n_it)), args.reps)
+        rbg = max(a_2n - a_n, 0.0) / n_it * 1e3
+        tf = max(b_2n - b_n, 0.0) / n_it * 1e3
+        print(f"train step  rbg: {rbg:.2f} ms  threefry: {tf:.2f} ms  "
+              f"(rbg speedup {tf / max(rbg, 1e-9):.3f}x)")
 
     if args.what in ("train", "both"):
         ch_pack = build_train_chain(True)

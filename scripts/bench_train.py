@@ -81,7 +81,8 @@ def main():
                                step=jnp.zeros((), jnp.int32))
             state = jax.device_put(state)
             raw_step = make_train_step(cfg, tcfg, tx, jit_compile=False)
-            key = jax.device_put(jax.random.PRNGKey(1))
+            # rbg = the train.py default (TPU hardware RNG for dropout sites)
+            key = jax.device_put(jax.random.key(1, impl="rbg"))
 
             from functools import partial
 

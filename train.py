@@ -77,6 +77,13 @@ def build_parser():
     # Training
     p.add_argument("--num-epochs", "-e", default=15, type=int)
     p.add_argument("--rand-seed", "-s", default=1, type=int)
+    p.add_argument("--prng", default="rbg", choices=["rbg", "threefry"],
+                   help="dropout RNG impl: rbg uses the TPU hardware RNG "
+                        "(measured 1.15x faster train step at the flagship "
+                        "width — the ~60 dropout sites dominate the "
+                        "latency-bound step, BENCH.md); threefry is the "
+                        "jax default software hash (bit-reproducible with "
+                        "older runs).  Both are deterministic per seed.")
     p.add_argument("--batch-size", "-b", default=32, type=int)
     p.add_argument("--max-length", default=256, type=int)
     p.add_argument("--max-history-length", default=-1, type=int)
@@ -240,7 +247,9 @@ def main(argv=None):
     logging.info("----------------")
     bestmodel_num = 0
     holder = [state]
-    data_key = jax.random.PRNGKey(args.rand_seed + 777)
+    data_key = (jax.random.key(args.rand_seed + 777, impl="rbg")
+                if args.prng == "rbg"
+                else jax.random.PRNGKey(args.rand_seed + 777))
     for epoch in range(start_epoch, args.num_epochs):
         t0 = time.time()
         train_losses = run_epoch(train_loader, None, train_step, epoch,

@@ -139,7 +139,9 @@ def main(argv=None):
         tot = {metric_key: 0.0, "loss": 0.0}
         n = 0
         for batch in batches(train):
-            state, m = step(state, batch, jax.random.PRNGKey(epoch * 131 + n))
+            # rbg: TPU hardware RNG for the dropout sites (see train.py --prng)
+            state, m = step(state, batch,
+                            jax.random.key(epoch * 131 + n, impl="rbg"))
             tot["loss"] += float(m["loss"])
             tot[metric_key] += float(m[metric_key])
             n += 1
