@@ -102,16 +102,21 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
                                        jax.random.fold_in(key, i),
                                        norm_override=norm)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-            metrics_acc = {k: metrics_acc[k] + metrics[k] for k in metrics_acc}
+            metrics_acc = jax.tree_util.tree_map(jnp.add, metrics_acc, metrics)
             return (grads_acc, loss_acc + loss, metrics_acc), None
 
         zeros_like = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
         g0 = zeros_like(state.params)
-        m0 = {"out": jnp.zeros(()), "temporal_ae": jnp.zeros(()),
-              "spatial_ae": jnp.zeros(()), "cap_ae": jnp.zeros(()),
-              "audio_ae": jnp.zeros(()),
-              "ntokens": jnp.zeros((), jnp.int32),
-              "qntokens": jnp.zeros((), jnp.int32)}
+        # carry structure derived from the loss function itself (a hardcoded
+        # key list would silently drop metrics added to compute_losses)
+        micro0 = jax.tree_util.tree_map(
+            lambda x: None if x is None else x[0], micro,
+            is_leaf=lambda x: x is None)
+        m0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(lambda p, b: loss_fn(p, b, key,
+                                                norm_override=norm)[1],
+                           state.params, micro0))
         (grads, loss, metrics), _ = jax.lax.scan(
             body, (g0, jnp.zeros(()), m0), (micro, jnp.arange(grad_accum)))
         # each microbatch reported the GLOBAL counts (norm_override), so the

@@ -202,13 +202,18 @@ def main(argv=None):
                 batch = batch._replace(fts=q8, fts_scale=scale)
             return dp.shard(batch)
 
-    mk_loader = lambda data, shuffle, cut_a: AVSDLoader(
+    # the tail batch must stay shardable (dp.n) AND, under --grad-accum,
+    # splittable into microbatches that are each still shardable — pad it to
+    # a multiple of dp.n * grad_accum (padded rows are all-PAD: zero tokens,
+    # zero loss contribution; real_count in BatchMeta excludes them)
+    mk_loader = lambda data, shuffle, cut_a, pad_mult: AVSDLoader(
         data, visual_stores=vis_stores, audio_stores=aud_stores,
         batch_size=args.batch_size, shuffle=shuffle, cut_a=cut_a,
         seed=args.rand_seed, len_buckets=tcfg.len_buckets,
-        time_buckets=tcfg.time_buckets, pad_batch_multiple=dp.n)
-    train_loader = mk_loader(train_data, True, bool(args.cut_a))
-    valid_loader = mk_loader(valid_data, False, False)
+        time_buckets=tcfg.time_buckets, pad_batch_multiple=pad_mult)
+    train_loader = mk_loader(train_data, True, bool(args.cut_a),
+                             dp.n * max(args.grad_accum, 1))
+    valid_loader = mk_loader(valid_data, False, False, dp.n)
     logging.info("#train sample = %d  #train batch = %d",
                  len(train_data.examples), len(train_loader))
     logging.info("#validation sample = %d  #validation batch = %d",
@@ -233,10 +238,11 @@ def main(argv=None):
         for k in vars(args):
             f.write(f"{k}={getattr(args, k)}\n")
 
-    if args.grad_accum > 1 and args.batch_size % args.grad_accum:
+    if args.grad_accum > 1 and args.batch_size % (args.grad_accum * dp.n):
         raise SystemExit(
-            f"--batch-size {args.batch_size} must divide by "
-            f"--grad-accum {args.grad_accum}")
+            f"--batch-size {args.batch_size} must divide by --grad-accum x "
+            f"device count ({args.grad_accum} x {dp.n}): each microbatch "
+            f"must still shard over the data mesh")
     train_step = make_train_step(cfg, tcfg, tx, grad_accum=args.grad_accum)
     eval_step = make_eval_step(cfg, tcfg)
     train_log, trace_log = init_csv_logs(args.model)
