@@ -108,10 +108,17 @@ def _hop1(p_hop: Params, h: int, drop: float, adrop: float, rngs,
     if rngs is None and (kv_groups.size * kv_groups.dtype.itemsize
                          >= HOP1_FUSED_MIN_GRID_BYTES):
         from bist_tpu.models.layers import linear
-        from bist_tpu.ops.bist_kernels import bist_hop1_fused
+        from bist_tpu.ops.bist_kernels import hop1_trainable
 
-        return bist_hop1_fused(x, linear(p_hop["attn"]["wq"], normed),
-                               kv_groups, p_hop["attn"], h, mask)
+        # hop1_trainable = fused forward + streaming Pallas backward (custom
+        # VJP), so this path is safe under value_and_grad — dropout-0
+        # training at the long-video capacity frontier is exactly where the
+        # kernel engages (the raw bist_hop1_fused is not differentiable)
+        a = p_hop["attn"]
+        return hop1_trainable(x, linear(a["wq"], normed), kv_groups,
+                              a["wk"]["w"], a["wk"]["b"],
+                              a["wv"]["w"], a["wv"]["b"],
+                              a["wo"]["w"], a["wo"]["b"], h, mask)
     attn_out = mha(p_hop["attn"], h, normed[:, None], kv_groups, kv_groups,
                    mask=None if mask is None else mask[:, None],
                    drop_rate=adrop, rngs=rngs)

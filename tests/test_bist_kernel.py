@@ -129,3 +129,50 @@ def test_hop1_trainable_grads_multiblock(rng):
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_model_hop1_dispatch_differentiable(rng, monkeypatch):
+    """Round-2 regression: the MODEL's hop-1 dispatch (models/bist.py _hop1)
+    must be differentiable when the fused kernel engages — dropout-0 training
+    at the capacity frontier runs under value_and_grad.  Pre-fix, the raw
+    (non-custom-VJP) kernel was dispatched there and jax.grad crashed; now
+    hop1_trainable is wired in.  Grads must also equal the XLA path."""
+    import bist_tpu.models.bist as bist_mod
+    from bist_tpu.config import ModelConfig, TrainConfig
+    from bist_tpu.data.batching import Batch
+    from bist_tpu.models.model import forward_logprobs, init_model
+    from bist_tpu.train.losses import compute_losses
+
+    cfg = ModelConfig(vocab_size=40, nb_blocks=1, nb_venc_blocks=1,
+                      nb_cenc_blocks=1, d_model=32, att_h=2, dropout=0.0,
+                      attn_dropout=0.0, include_caption="summary",
+                      separate_caption=True, ft_sizes=(12,),
+                      enc_st_combine="none", enc_vc_combine="dyn")
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    B = 2
+
+    def toks(L):
+        x = rng.integers(4, 40, size=(B, L)).astype(np.int32)
+        x[:, -1] = 1
+        return x
+
+    batch = Batch(query=toks(5), his=toks(7), trg=toks(4), trg_y=toks(4),
+                  cap=toks(4),
+                  fts=rng.standard_normal((B, 3, 4, 12)).astype(np.float32),
+                  audio_fts=None)
+
+    def loss_fn(p):
+        logp, ft = forward_logprobs(p, cfg, batch, rngs=None)
+        loss, _ = compute_losses(logp, ft, p["embed"]["lut"], cfg, batch, 0.1)
+        return loss
+
+    loss_xla, grads_xla = jax.value_and_grad(loss_fn)(params)
+
+    monkeypatch.setattr(bist_mod, "HOP1_FUSED_MIN_GRID_BYTES", 0)
+    loss_k, grads_k = jax.value_and_grad(loss_fn)(params)  # crashed pre-fix
+
+    np.testing.assert_allclose(float(loss_k), float(loss_xla), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_k),
+                    jax.tree_util.tree_leaves(grads_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
