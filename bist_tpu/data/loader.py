@@ -143,25 +143,47 @@ def device_prefetch(iterator, prepare=None, size: int = 2):
 
     q: "_queue.Queue" = _queue.Queue(maxsize=max(size, 1))
     err = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone; a plain
+        q.put would block forever if the consuming loop exits early (error,
+        KeyboardInterrupt), leaking the thread + device-resident batches."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch, meta in iterator:
                 if prepare is not None:
                     batch = prepare(batch)
-                q.put((batch, meta))
+                if not _put((batch, meta)):
+                    return
         except BaseException as e:  # surface loader errors in the consumer
             err.append(e)
         finally:
-            q.put(None)
+            _put(None)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+    finally:
+        stop.set()
+        while True:                      # unblock a producer stuck in _put
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                break
+        t.join()
     if err:
         raise err[0]

@@ -116,3 +116,35 @@ def test_device_prefetch_order_and_errors():
     assert next(gen)[0] == 1
     with pytest.raises(RuntimeError, match="loader exploded"):
         list(gen)
+
+
+def test_device_prefetch_early_exit_releases_producer():
+    """Round-2 regression: if the consumer abandons the iterator early (error
+    in the train loop, KeyboardInterrupt), the producer thread must not stay
+    blocked on the bounded queue holding device-resident batches."""
+    import threading
+    import time
+
+    from bist_tpu.data.loader import device_prefetch
+
+    before = set(threading.enumerate())
+    it = device_prefetch(iter([(i, {}) for i in range(100)]), size=1)
+    assert next(it)[0] == 0          # producer now blocked filling the queue
+
+    done = threading.Event()
+
+    def close():
+        it.close()                   # triggers the generator's finally
+        done.set()
+
+    t = threading.Thread(target=close, daemon=True)
+    t.start()
+    assert done.wait(timeout=10), "device_prefetch close() hung (leak)"
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        leaked = [th for th in threading.enumerate()
+                  if th not in before and th.is_alive() and th is not t]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer thread leaked: {leaked}"
