@@ -1,6 +1,6 @@
 # Convenience targets (see README.md / CLAUDE.md for details)
 
-.PHONY: test test-fast smoke bench bench-extractor bench-kernels bench-train demo demo-tgif dryrun reproduce
+.PHONY: test test-fast smoke bench bench-extractor bench-kernels bench-train bench-serving demo demo-tgif dryrun reproduce
 
 test:            ## full suite on CPU (virtual 8-device mesh)
 	python -m pytest tests/ -q

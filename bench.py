@@ -163,11 +163,12 @@ def main():
     if chained:
         from functools import partial
 
+        from bist_tpu.utils.benchtime import unprovable_zero
+
         @partial(jax.jit, static_argnames="n")
         def beam_chain(p, b, n):
             def body(c, _):
-                flag = jnp.where(jnp.isnan(c), 1, 0).astype(jnp.int32)
-                b2 = b._replace(query=b.query + flag)
+                b2 = b._replace(query=b.query + unprovable_zero(c))
                 r = beam_search(p, cfg, b2, gcfg)
                 return c + jnp.sum(r.scores), None
 

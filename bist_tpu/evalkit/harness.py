@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Tuple
 from bist_tpu.evalkit.bleu import BleuScorer
 from bist_tpu.evalkit.cider import CiderScorer
 from bist_tpu.evalkit.meteor import meteor_corpus
-from bist_tpu.evalkit.ptb_tokenizer import ptb_tokenize, ptb_tokenize_sentence
+from bist_tpu.evalkit.ptb_tokenizer import ptb_tokenize
 from bist_tpu.evalkit.rouge import rouge_l_corpus
 
 
@@ -102,8 +102,9 @@ def evaluate_coco(hypotheses: List[dict], multiref_path: str
     hyp_raw = {int(h["image_id"]): [h["caption"]] for h in hypotheses}
     ids = sorted(hyp_raw.keys())
 
-    hyp_tok = ptb_tokenize(hyp_raw)
-    ref_tok = ptb_tokenize({i: refs_raw[i] for i in ids})
+    hyp_tok, hyp_tokens = ptb_tokenize(hyp_raw, with_count=True)
+    ref_tok, ref_tokens = ptb_tokenize({i: refs_raw[i] for i in ids},
+                                       with_count=True)
 
     hyps = [hyp_tok[i][0].split() for i in ids]
     refs_list = [[r.split() for r in ref_tok[i]] for i in ids]
@@ -125,12 +126,8 @@ def evaluate_coco(hypotheses: List[dict], multiref_path: str
     # Aux stats used by write_eval_file to reproduce the coco-caption stdout
     # layout byte-for-byte (underscore keys; not metrics).
     corpus["_bleu_totals"] = dict(bleu.totals)
-    corpus["_ref_tokens"] = sum(
-        len(ptb_tokenize_sentence(c, remove_punct=False))
-        for i in ids for c in refs_raw[i])
-    corpus["_hyp_tokens"] = sum(
-        len(ptb_tokenize_sentence(hyp_raw[i][0], remove_punct=False))
-        for i in ids)
+    corpus["_ref_tokens"] = ref_tokens
+    corpus["_hyp_tokens"] = hyp_tokens
 
     per_image = []
     for n, i in enumerate(ids):

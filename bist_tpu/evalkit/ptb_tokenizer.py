@@ -75,10 +75,23 @@ def ptb_tokenize_sentence(text: str, lowercase: bool = True,
     return toks
 
 
-def ptb_tokenize(captions: Dict[str, List[str]]) -> Dict[str, List[str]]:
+def ptb_tokenize(captions: Dict[str, List[str]], with_count: bool = False):
     """Tokenize {image_id: [caption, ...]} → {image_id: ['tok tok ...', ...]}
-    — the same shape the coco PTBTokenizer wrapper produces."""
-    return {
-        k: [" ".join(ptb_tokenize_sentence(c)) for c in v]
-        for k, v in captions.items()
-    }
+    — the same shape the coco PTBTokenizer wrapper produces.
+
+    with_count=True also returns the total PRE-punct-removal token count
+    from the same pass (the figure PTBTokenizer prints, reproduced in the
+    .eval stdout layout) — callers previously re-tokenized the whole corpus
+    just for that integer."""
+    out: Dict[str, List[str]] = {}
+    count = 0
+    for k, v in captions.items():
+        lst = []
+        for c in v:
+            toks = _ptb_split(c.lower())
+            count += len(toks)
+            lst.append(" ".join(w for w in toks if w not in PUNCTUATIONS))
+        out[k] = lst
+    if with_count:
+        return out, count
+    return out

@@ -16,9 +16,7 @@ Usage: python scripts/bench_breakdown.py [--device cpu] [--iters 8] [--reps 5]
 
 import argparse
 import os
-import statistics
 import sys
-import time
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -82,9 +80,10 @@ def main():
     key = jax.device_put(jax.random.PRNGKey(1))
     raw_step = make_train_step(cfg, tcfg, tx, jit_compile=False)
 
+    from bist_tpu.utils.benchtime import chain_diff_ms, unprovable_zero
+
     def perturbed(batch, c):
-        flag = jnp.where(jnp.isnan(c), 1, 0).astype(jnp.int32)
-        return batch._replace(query=batch.query + flag)
+        return batch._replace(query=batch.query + unprovable_zero(c))
 
     # each stage: batch -> scalar (all feed the same chain harness)
     def s_encode(b):
@@ -132,22 +131,12 @@ def main():
 
         return chain
 
-    def timed(call):
-        ts = []
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            call()
-            ts.append(time.perf_counter() - t0)
-        return statistics.median(ts)
-
     results = []
     for name, fn in stages:
         ch = make_chain(fn)
         for n in (n_it, 2 * n_it):
             float(ch(batch, n=n))     # compile + warm
-        t1 = timed(lambda: float(ch(batch, n=n_it)))
-        t2 = timed(lambda: float(ch(batch, n=2 * n_it)))
-        ms = max(t2 - t1, 0.0) / n_it * 1e3
+        ms = chain_diff_ms(lambda n: float(ch(batch, n=n)), n_it, args.reps)
         results.append((name, ms))
         print(f"{name}: {ms:.2f} ms", file=sys.stderr)
 
@@ -163,9 +152,8 @@ def main():
 
     for n in (n_it, 2 * n_it):
         float(step_chain(state, batch, key, n=n))
-    t1 = timed(lambda: float(step_chain(state, batch, key, n=n_it)))
-    t2 = timed(lambda: float(step_chain(state, batch, key, n=2 * n_it)))
-    full = max(t2 - t1, 0.0) / n_it * 1e3
+    full = chain_diff_ms(lambda n: float(step_chain(state, batch, key, n=n)),
+                         n_it, args.reps)
     results.append(("full train step (dropout + Adam)", full))
     print(f"full train step: {full:.2f} ms", file=sys.stderr)
 

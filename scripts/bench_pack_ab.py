@@ -44,6 +44,7 @@ def main():
     from bist_tpu.data.batching import Batch
     from bist_tpu.decode.beam import beam_search
     from bist_tpu.models import layers
+    from bist_tpu.utils.benchtime import unprovable_zero
     from bist_tpu.models.model import init_model
     from bist_tpu.train.loop import TrainState, make_train_step
     from bist_tpu.train.schedule import make_optimizer
@@ -111,10 +112,9 @@ def main():
         def chain(params, batch, n):
             def body(c, _):
                 # data-dependence between iterations, or XLA CSEs the
-                # identical beam programs into one (measured: it does).
-                # flag is always 0 but unprovably so at compile time.
-                flag = jnp.where(jnp.isnan(c), 1, 0).astype(jnp.int32)
-                b2 = batch._replace(query=batch.query + flag)
+                # identical beam programs into one (measured: it does) —
+                # bist_tpu.utils.benchtime docstring
+                b2 = batch._replace(query=batch.query + unprovable_zero(c))
                 r = beam_search(params, cfg, b2, gcfg)
                 return c + jnp.sum(r.scores), None
 
@@ -124,14 +124,6 @@ def main():
         for n in (2, 6):
             float(chain(params, batch, n=n))
         return chain
-
-    def timed(fn, reps):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn()
-            ts.append(time.perf_counter() - t0)
-        return ts
 
     def interleave(fa, fb, reps):
         a, b = [], []

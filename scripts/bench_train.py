@@ -94,16 +94,12 @@ def main():
                 _, losses = jax.lax.scan(body, state, jnp.arange(n))
                 return jnp.sum(losses)
 
-            def timed(n):
-                float(chain(state, batch, key, n=n))   # compile + warm
-                ts = []
-                for _ in range(args.reps):
-                    t0 = time.perf_counter()
-                    float(chain(state, batch, key, n=n))
-                    ts.append(time.perf_counter() - t0)
-                return statistics.median(ts)
+            from bist_tpu.utils.benchtime import chain_diff_ms
 
-            ms = max(timed(2 * n_it) - timed(n_it), 0.0) / n_it * 1e3
+            for n in (n_it, 2 * n_it):
+                float(chain(state, batch, key, n=n))   # compile + warm
+            ms = chain_diff_ms(lambda n: float(chain(state, batch, key, n=n)),
+                               n_it, args.reps)
             rows.append((d_model, nb, dtype, ms))
             print(f"d_model={d_model} blocks={nb} {dtype}: {ms:.2f} ms/step",
                   file=sys.stderr)
