@@ -88,7 +88,7 @@ def ptb_tokenize(captions: Dict[str, List[str]], with_count: bool = False):
     for k, v in captions.items():
         lst = []
         for c in v:
-            toks = _ptb_split(c.lower())
+            toks = ptb_tokenize_sentence(c, remove_punct=False)
             count += len(toks)
             lst.append(" ".join(w for w in toks if w not in PUNCTUATIONS))
         out[k] = lst

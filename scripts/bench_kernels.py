@@ -25,24 +25,19 @@ Usage: python scripts/bench_kernels.py [--device cpu] [--iters 32]
 
 import argparse
 import os
-import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bist_tpu.utils.benchtime import timeit_median
 
 
 def timeit_scalar(fn, *args, reps=5):
     """Median wall time of fn(*args) where fn returns a SCALAR jax array;
     syncs by fetching the scalar (block_until_ready is a no-op over the
-    tunnel)."""
+    tunnel).  Timing core shared with the other benches (utils/benchtime)."""
     float(fn(*args))                     # compile + warm
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return statistics.median(times)
+    return timeit_median(lambda: float(fn(*args)), reps)
 
 
 def main():

@@ -104,7 +104,9 @@ def main():
 
     from bist_tpu.models import model as model_mod
 
-    def build_decode_chain(pack: bool, ptrk: bool = True):
+    def build_decode_chain(pack: bool, ptrk: bool = False):
+        # ptrk default mirrors the SHIPPED default (model.PTR_K_PRECOMPUTE
+        # is off) so --what decode measures the program users actually run
         layers.PACK_PROJECTIONS = pack
         model_mod.PTR_K_PRECOMPUTE = ptrk
 
