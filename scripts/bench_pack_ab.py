@@ -30,7 +30,8 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--what", default="both",
-                    choices=["train", "decode", "ptrk", "prng", "both"])
+                    choices=["train", "decode", "ptrk", "prng", "adam",
+                             "both"])
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
@@ -133,6 +134,46 @@ def main():
             t0 = time.perf_counter(); fa(); a.append(time.perf_counter() - t0)
             t0 = time.perf_counter(); fb(); b.append(time.perf_counter() - t0)
         return statistics.median(a), statistics.median(b)
+
+    if args.what == "adam":
+        # optimizer-update lowering A/B: per-leaf Adam (~6 elementwise ops x
+        # ~hundreds of small param leaves) vs optax.flatten (params raveled
+        # into one vector -> a handful of big fused ops).  Numerically exact.
+        import optax
+
+        key_rbg = jax.device_put(jax.random.key(1, impl="rbg"))
+
+        def build_opt_chain(flat: bool):
+            layers.PACK_PROJECTIONS = False
+            tx_u = optax.flatten(tx) if flat else tx
+            st = jax.device_put(TrainState(
+                params=params, opt_state=tx_u.init(params),
+                step=jnp.zeros((), jnp.int32)))
+            raw = make_train_step(cfg, tcfg, tx_u, jit_compile=False)
+
+            @partial(jax.jit, static_argnames="n")
+            def chain(state, batch, key, n):
+                def body(s, i):
+                    s2, m = raw(s, batch, jax.random.fold_in(key, i))
+                    return s2, m["loss"]
+
+                _, losses = jax.lax.scan(body, state, jnp.arange(n))
+                return jnp.sum(losses)
+
+            for n in (n_it, 2 * n_it):
+                float(chain(st, batch, key_rbg, n=n))
+            return lambda n: float(chain(st, batch, key_rbg, n=n))
+
+        ch_flat = build_opt_chain(True)
+        ch_tree = build_opt_chain(False)
+        a_n, b_n = interleave(lambda: ch_flat(n_it), lambda: ch_tree(n_it),
+                              args.reps)
+        a_2n, b_2n = interleave(lambda: ch_flat(2 * n_it),
+                                lambda: ch_tree(2 * n_it), args.reps)
+        fl = max(a_2n - a_n, 0.0) / n_it * 1e3
+        tr = max(b_2n - b_n, 0.0) / n_it * 1e3
+        print(f"train step  flat-adam: {fl:.2f} ms  tree-adam: {tr:.2f} ms  "
+              f"(flatten speedup {tr / max(fl, 1e-9):.3f}x)")
 
     if args.what == "prng":
         # dropout RNG impl A/B: threefry (jax default; ~60 fold_in+bernoulli
