@@ -77,7 +77,10 @@ def main():
     tx = make_optimizer(cfg.d_model, tcfg.warmup_steps)
     state = jax.device_put(TrainState(params=params, opt_state=tx.init(params),
                                       step=jnp.zeros((), jnp.int32)))
-    key = jax.device_put(jax.random.PRNGKey(1))
+    # rbg = the train.py default (TPU hardware RNG for dropout sites); the
+    # committed breakdown table's full-step row was measured pre-switch with
+    # threefry — the prng A/B (bench_pack_ab --what prng) holds both numbers
+    key = jax.device_put(jax.random.key(1, impl="rbg"))
     raw_step = make_train_step(cfg, tcfg, tx, jit_compile=False)
 
     from bist_tpu.utils.benchtime import chain_diff_ms, unprovable_zero
