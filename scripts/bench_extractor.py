@@ -3,11 +3,19 @@
 accelerator — BASELINE.json config 4's measurement.  Random-init weights
 (identical FLOPs to the Kinetics checkpoint), 16-frame 112x112 clips.
 
-Usage: python scripts/bench_extractor.py [--batch 16] [--iters 5]
+Two modes:
+  --chain 1 (default): chain-difference timing via bist_tpu.utils.benchtime
+    (the on-chip rate; per-call dispatch/D2H cancels — this harness's
+    tunnel would otherwise dominate);
+  --chain 0: one dispatch per batch with a full D2H drain per iteration
+    (the round-1 behaviour; on this harness it mostly measures the tunnel).
+
+Usage: python scripts/bench_extractor.py [--batch 32] [--iters 4] [--bf16 1]
 """
 import argparse
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -18,8 +26,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--reps", type=int, default=5)
     p.add_argument("--device", default="")
     p.add_argument("--bf16", type=int, default=0)
+    p.add_argument("--chain", type=int, default=1)
     args = p.parse_args()
     if args.device == "cpu":
         import jax
@@ -33,16 +43,37 @@ def main():
     dt_ = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.bf16:
         params = jax.tree_util.tree_map(lambda x: x.astype(dt_), params)
-    fn = jax.jit(lambda p, c: resnext101_apply(p, c, mode="spatio_temporal")
-                 .astype(jnp.float32))
     clips = jnp.asarray(
         np.random.default_rng(0).standard_normal(
             (args.batch, 16, 112, 112, 3)), dt_)
-    np.asarray(fn(params, clips))    # compile + settle
-    t0 = time.time()
-    for _ in range(args.iters):
-        out = np.asarray(fn(params, clips))   # force full D2H drain per iter
-    dt = (time.time() - t0) / args.iters
+
+    if args.chain:
+        from bist_tpu.utils.benchtime import chain_diff_ms, unprovable_zero
+
+        @partial(jax.jit, static_argnames="n")
+        def chain(p_, c_, n):
+            def body(acc, _):
+                c2 = c_ + unprovable_zero(acc).astype(dt_)
+                out = resnext101_apply(p_, c2, mode="spatio_temporal")
+                return acc + jnp.sum(out).astype(jnp.float32), None
+
+            out, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+            return out
+
+        n_it = args.iters
+        for n in (n_it, 2 * n_it):
+            float(chain(params, clips, n=n))          # compile + warm
+        ms = chain_diff_ms(lambda n: float(chain(params, clips, n=n)),
+                           n_it, args.reps)
+        dt = ms / 1e3
+    else:
+        fn = jax.jit(lambda p, c: resnext101_apply(p, c, mode="spatio_temporal")
+                     .astype(jnp.float32))
+        np.asarray(fn(params, clips))    # compile + settle
+        t0 = time.time()
+        for _ in range(args.iters):
+            np.asarray(fn(params, clips))   # force full D2H drain per iter
+        dt = (time.time() - t0) / args.iters
     cps = args.batch / dt
     # one clip covers 16 frames with stride 4 → 4 frames of video at ~24fps
     print(f"{cps:.1f} clips/sec (batch {args.batch}, {dt*1e3:.0f} ms/batch; "
