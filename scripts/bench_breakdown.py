@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--decode", type=int, default=0,
+                    help="also run the decode-side breakdown (greedy rows "
+                         "vs pointer generator vs beam bookkeeping)")
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
@@ -168,6 +171,63 @@ def main():
     for name, ms in results:
         print(f"| {name} | {ms:.2f} | {ms - prev:+.2f} |")
         prev = ms
+
+    if args.decode:
+        # Decode-side decomposition at matched row counts: greedy over
+        # B*beam rows = the beam program's decoder work without the beam
+        # bookkeeping (top-k, parent gather, completion tracking); the
+        # ptr_gen=False variant drops the multi-pointer generator (params
+        # are unused, not restructured, so the same pytree serves both).
+        import dataclasses
+
+        from bist_tpu.config import GenerateConfig
+        from bist_tpu.decode.beam import beam_search, greedy_decode
+
+        K = 5
+        gcfg = GenerateConfig(maxlen=12, beam=K, penalty=1.0, nbest=5)
+        gcfg1 = GenerateConfig(maxlen=12, beam=1, penalty=1.0, nbest=1)
+        cfg_noptr = dataclasses.replace(cfg, ptr_gen=False)
+
+        def d_beam(b):
+            r = beam_search(params, cfg, b, gcfg)
+            return jnp.sum(r.scores)
+
+        def d_beam1(b):
+            r = beam_search(params, cfg, b, gcfg1)
+            return jnp.sum(r.scores)
+
+        def d_greedy(b):
+            return jnp.sum(greedy_decode(params, cfg, b, gcfg.maxlen)
+                           .astype(jnp.float32))
+
+        def d_greedy_noptr(b):
+            return jnp.sum(greedy_decode(params, cfg_noptr, b, gcfg.maxlen)
+                           .astype(jnp.float32))
+
+        # all four at B input rows: greedy vs greedy-noptr isolates the
+        # multi-pointer generator; beam(K=1) vs greedy isolates the beam
+        # bookkeeping (top-k over K·V, parent gather, completion tracking) at
+        # matched decoder rows; beam(K=5) vs beam(K=1) adds the 4 extra
+        # row-batches per step + the wider top-k.
+        dec_stages = [
+            (f"greedy, tied softmax ({B} rows)", d_greedy_noptr, batch),
+            (f"greedy, multi-pointer gen ({B} rows)", d_greedy, batch),
+            (f"beam K=1 ({B} rows + bookkeeping)", d_beam1, batch),
+            (f"beam K=5 (B={B}, the shipped program)", d_beam, batch),
+        ]
+        n_dec = max(2, n_it // 4)    # each iteration is a full 12-step decode
+        print(f"\n## Decode breakdown ({dev.device_kind}, maxlen 12)\n")
+        print("| program | ms/batch | delta |")
+        print("|---|---|---|")
+        prev = 0.0
+        for name, fn, data in dec_stages:
+            ch = make_chain(fn)
+            for n in (n_dec, 2 * n_dec):
+                float(ch(data, n=n))
+            ms = chain_diff_ms(lambda n: float(ch(data, n=n)), n_dec,
+                               args.reps)
+            print(f"| {name} | {ms:.2f} | {ms - prev:+.2f} |")
+            prev = ms
 
 
 if __name__ == "__main__":
