@@ -96,6 +96,9 @@ def main(argv=None):
     if args.ensemble:
         params = [params] + [_load(p) for p in args.ensemble]
         logging.info("ensembling %d models", len(params))
+    n_dev = jax.device_count()
+    if n_dev > 1:
+        logging.info("decoding data-parallel over %d devices", n_dev)
 
     # Feature-type override at test time (reference generate.py:101-104):
     # resnext_st (+ vggish_testset when the model was trained with vggish).
@@ -115,11 +118,19 @@ def main(argv=None):
     vis_stores, aud_stores = build_stores(fea_type, args.test_path,
                                           test_data.vid_set, skip=tcfg.skip,
                                           workers=max(args.num_workers, 1))
+    # data-parallel decoding: batch rows sharded over ALL local devices,
+    # params replicated — same mesh recipe as training (parallel/mesh.py);
+    # on one device this is a no-op placement.  Tail batches pad to the
+    # mesh size (pad rows are dropped via meta.real_count).
+    from bist_tpu.parallel.mesh import DataParallel
+
+    dp = DataParallel()
     loader = AVSDLoader(test_data, visual_stores=vis_stores,
                         audio_stores=aud_stores,
                         batch_size=args.gen_batch_size, shuffle=False,
                         cut_a=False, len_buckets=tcfg.len_buckets,
-                        time_buckets=tcfg.time_buckets)
+                        time_buckets=tcfg.time_buckets,
+                        pad_batch_multiple=dp.n)
     logging.info("#test sample = %d  #test batch = %d",
                  len(test_data.examples), len(loader))
 
@@ -154,16 +165,18 @@ def main(argv=None):
     from bist_tpu.data.loader import device_prefetch
     from bist_tpu.decode.beam import BeamResult
 
+    params = ([dp.put_replicated(p) for p in params]
+              if isinstance(params, list) else dp.put_replicated(params))
+
     def prepare(batch):
         """Loader-thread work: int8-quantise and start the H2D transfer of the
         NEXT batch while the device decodes the current one (the tunnel
-        transfer is the end-to-end bottleneck, BENCH.md)."""
+        transfer is the end-to-end bottleneck, BENCH.md).  Rows are placed
+        sharded over the data mesh."""
         if args.feat_int8 and batch.fts is not None:
             q8, scale = quantize_features(batch.fts)
             batch = batch._replace(fts=q8, fts_scale=scale)
-        return jax.tree_util.tree_map(
-            lambda x: None if x is None else jax.device_put(x), batch,
-            is_leaf=lambda x: x is None)
+        return dp.shard(batch)
 
     def drain(pending):
         """Pull results of the previously-dispatched batch (overlaps this

@@ -101,3 +101,25 @@ def test_train_resume(trained, tmp_path):
          "--warmup-steps", "20", "--device", "cpu",
          "--resume", model + "_best"])
     assert os.path.isdir(model2 + "_best")
+
+
+def test_generate_data_parallel_mesh(trained, tmp_path):
+    """generate.py decodes with batch rows sharded over an 8-device CPU mesh
+    (round-2 continuation: data-parallel generation); tail batches pad to
+    the mesh size and pad rows are dropped from the result."""
+    synth, model = trained
+    out = str(tmp_path / "result_dp.json")
+    run(["generate.py",
+         "--test-path", os.path.join(synth, "<FeaType>/<ImageID>.npy"),
+         "--test-set", os.path.join(synth, "test_test.json"),
+         "--model-conf", model + ".conf", "--model", model,
+         "--beam", "3", "--penalty", "1.0", "--nbest", "3",
+         "--decode-style", "beam_search", "--output", out,
+         "--gen-batch-size", "8", "--device", "cpu"],
+        env_extra={"XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+    result = json.load(open(out))
+    orig = json.load(open(os.path.join(synth, "test_test.json")))
+    assert len(result["dialogs"]) == len(orig["dialogs"])
+    for rd in result["dialogs"]:
+        for turn in rd["dialog"]:
+            assert isinstance(turn["answer"], str)

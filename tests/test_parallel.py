@@ -96,3 +96,31 @@ def test_padded_rows_contribute_nothing(rng):
     _, m8 = step(state, b8, jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(m4["loss"]), float(m8["loss"]),
                                rtol=1e-5)
+
+
+def test_sharded_beam_search_matches_single_device(rng):
+    """Data-parallel GENERATION (generate.py round-2 continuation): beam
+    search over a batch whose rows are sharded across the 8-device mesh must
+    return the same hypotheses/scores as unsharded decoding."""
+    from bist_tpu.config import GenerateConfig
+    from bist_tpu.decode.beam import beam_search
+    from bist_tpu.models.model import init_model
+
+    cfg = tiny_cfg()
+    gcfg = GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=3)
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    batch = tiny_batch(rng, B=8)
+
+    single = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))(params, batch)
+
+    dp = DataParallel()
+    sharded = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))(
+        dp.put_replicated(params), dp.shard(batch))
+
+    np.testing.assert_array_equal(np.asarray(single.tokens),
+                                  np.asarray(sharded.tokens))
+    np.testing.assert_allclose(np.asarray(single.scores),
+                               np.asarray(sharded.scores), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(single.lengths),
+                                  np.asarray(sharded.lengths))
