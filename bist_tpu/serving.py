@@ -67,6 +67,16 @@ class Responder:
         self.max_batch = max_batch
         self.len_buckets = tuple(len_buckets)
         self.time_buckets = tuple(time_buckets)
+        # serve data-parallel (rows sharded, params replicated — same recipe
+        # as generate.py; no-op on one device).  The mesh uses the LARGEST
+        # device count that divides max_batch (rows are always padded to
+        # max_batch in make_batch, so that is the sharded dimension).
+        from bist_tpu.parallel.mesh import DataParallel
+
+        n_avail = len(jax.devices())
+        n_use = max(n for n in range(1, n_avail + 1) if max_batch % n == 0)
+        self._dp = DataParallel(num_devices=n_use)
+        self.params = self._dp.put_replicated(params)
         self._beam = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
 
     def tokenize(self, text: str) -> np.ndarray:
@@ -115,7 +125,7 @@ class Responder:
     def respond(self, reqs: List[Request]) -> None:
         import jax
 
-        batch = self.make_batch(reqs)
+        batch = self._dp.shard(self.make_batch(reqs))
         result = jax.device_get(self._beam(self.params, batch))
         result = BeamResult(*result)
         for i, r in enumerate(reqs):
