@@ -41,12 +41,6 @@ from bist_tpu.vocab import EOS, PAD, SOS, UNK
 NEG = -1.0e30
 
 
-def _tile_for_beam(tree, K: int):
-    """Repeat every leaf's leading batch dim K times: row b → rows b*K..b*K+K-1."""
-    return jax.tree_util.tree_map(
-        lambda x: jnp.repeat(x, K, axis=0) if x is not None else None, tree)
-
-
 class BeamResult(NamedTuple):
     tokens: jnp.ndarray   # (B, nbest, maxlen) int32, PAD-padded, no sos/eos
     scores: jnp.ndarray   # (B, nbest) float32 (NEG = empty slot)
@@ -66,8 +60,11 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
     params_list = params if isinstance(params, (list, tuple)) else [params]
     M = len(params_list)
 
-    ctxs = [_tile_for_beam(precompute_decode_ctx(p, cfg, batch), K)
-            for p in params_list]
+    # Contexts stay at B rows: decode_step folds the K hypotheses of each
+    # batch element into the cross-attention query axis, so the per-layer
+    # K/V, masks and pointer sources are read from HBM once per batch
+    # element per step instead of K times (the round-≤2 tiled scheme).
+    ctxs = [precompute_decode_ctx(p, cfg, batch) for p in params_list]
     caches = [init_cache(cfg, B * K, maxlen + 1) for _ in params_list]
 
     tokens0 = jnp.full((B, K, maxlen + 1), PAD, jnp.int32).at[:, :, 0].set(SOS)
@@ -84,9 +81,9 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
         cur = jax.lax.dynamic_index_in_dim(tokens, l, axis=2, keepdims=False)
         logp = 0.0
         new_caches = []
-        for p, ctx_t, cache in zip(params_list, ctxs, caches):
-            lp_m, cache = decode_step(p, cfg, ctx_t, cache,
-                                      cur.reshape(B * K), l)
+        for p, ctx_m, cache in zip(params_list, ctxs, caches):
+            lp_m, cache = decode_step(p, cfg, ctx_m, cache,
+                                      cur.reshape(B * K), l, beam=K)
             logp = logp + lp_m
             new_caches.append(cache)
         caches = tuple(new_caches)

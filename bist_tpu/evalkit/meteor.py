@@ -16,14 +16,21 @@ one-to-one alignment maximizing total matches, ties broken by fewest chunks
 undercounted matches/overcounted chunks (−0.005 band); the beam aligner
 measures within 2.3e-3 of the jar on the goldens.
 
-Scoring (Denkowski & Lavie 2014, en defaults):
-  alpha=0.85, beta=0.2, gamma=0.6, delta=0.75; content/function word
-  discrimination with weights (exact 1.0, stem 0.6);
-  P = Σw_i·m_i(h) / Σw_i·h_i,  R = Σw_i·m_i(r) / Σw_i·r_i  (weighted by
-  content/function: w_content=delta, w_function=1-delta)
+Scoring (Denkowski & Lavie 2014 §3.1, METEOR 1.5 en defaults):
+  alpha=0.85, beta=0.2, gamma=0.6, delta=0.75; matcher weights w_exact=1.0,
+  w_stem=0.6 (w_syn=0.8 / w_par=0.6 unusable here — no data);
+  each matched word contributes  w_matcher · (delta if content else 1−delta)
+  to the match mass; totals weight every hyp/ref word by delta/(1−delta):
+  P = Σ_m w(m)·cw(h_m) / Σ_h cw(h),  R = Σ_m w(m)·cw(r_m) / Σ_r cw(r)
   F = P·R / (alpha·P + (1−alpha)·R)
   frag = chunks / matches;  penalty = gamma · frag^beta
   score = max over references of (1 − penalty) · F
+
+Because the missing synonym/paraphrase stages can only ADD matches (every
+exact/stem match is still found, with the same or higher weight), this
+implementation is a LOWER BOUND on the jar's score: measured residual on the
+DSTC7 goldens −0.0044 / −0.0021 (one-sided; asserted in
+tests/test_metrics_golden.py).
 """
 
 from __future__ import annotations
@@ -101,8 +108,13 @@ def _chunks(matches) -> int:
     return chunks
 
 
+def _cw(word: str) -> float:
+    """Content/function discrimination weight (delta for content words)."""
+    return 1.0 - DELTA if word in FUNCTION_WORDS else DELTA
+
+
 def _wsum(words: Sequence[str]) -> float:
-    return sum(1.0 - DELTA if w in FUNCTION_WORDS else DELTA for w in words)
+    return sum(_cw(w) for w in words)
 
 
 def meteor_single(hyp: Sequence[str], refs: Sequence[Sequence[str]]) -> float:
@@ -113,8 +125,10 @@ def meteor_single(hyp: Sequence[str], refs: Sequence[Sequence[str]]) -> float:
         matches = _align(hyp, ref)
         if not matches:
             continue
-        mh = _wsum([hyp[i] for i, _, _ in matches])
-        mr = _wsum([ref[j] for _, j, _ in matches])
+        # weighted match mass: matcher weight × content/function weight
+        # (METEOR 1.5 weighted precision/recall, Denkowski & Lavie 2014 §3.1)
+        mh = sum(w * _cw(hyp[i]) for i, _, w in matches)
+        mr = sum(w * _cw(ref[j]) for _, j, w in matches)
         th, tr = _wsum(hyp), _wsum(ref)
         if th == 0 or tr == 0:
             continue

@@ -102,6 +102,51 @@ def _copy_dist(attn: jnp.ndarray, text: jnp.ndarray, vocab: int) -> jnp.ndarray:
     return jnp.einsum("blj,bjv->blv", attn, onehot)
 
 
+def apply_generator_step(p: Params, cfg: ModelConfig, lut: jnp.ndarray,
+                         decoded: jnp.ndarray, encoded_tgt: jnp.ndarray,
+                         ptr_src) -> jnp.ndarray:
+    """Incremental-decoding generator over (B, K, D) hypothesis rows.
+
+    Same math as `apply_generator` at Lt=1 (verified by
+    tests/test_model_forward.py incremental-vs-full and tests/test_beam.py),
+    restructured for the decode hot loop: the per-source pointer keys and the
+    copy-scatter one-hot come precomputed at B rows (model.PtrSource) and are
+    shared across the K hypotheses of each batch element — the reference (and
+    rounds ≤2 here) re-projected keys and re-materialised the (rows, L, V)
+    one-hot every step for every hypothesis row."""
+    if not cfg.ptr_gen:
+        return vocab_log_softmax(lut, decoded)
+    p_vocab = jax.nn.softmax(
+        jnp.matmul(decoded, lut.astype(decoded.dtype).T).astype(jnp.float32),
+        axis=-1)
+    gen_vec_parts = [decoded, encoded_tgt]
+    copy_dists = []
+    for idx, src in enumerate(ptr_src):
+        Q = split_heads(linear(p["pointer_attn"][idx]["wq"], decoded), 1)
+        attn = attention_weights(Q, src.k, src.mask[..., None, :, :],
+                                 0.0, None)[:, 0]            # (B, K, L)
+        attn32 = attn.astype(jnp.float32)
+        copy_dists.append(jnp.einsum("bkl,blv->bkv", attn32, src.onehot))
+        gen_vec_parts.append(
+            jnp.einsum("bkl,bld->bkd", attn.astype(decoded.dtype),
+                       src.enc.astype(decoded.dtype)))
+    if len(ptr_src) > 1:
+        switch = jax.nn.softmax(
+            linear(p["pointer_gen_W"],
+                   jnp.concatenate(gen_vec_parts, axis=-1))
+            .astype(jnp.float32), -1)
+        p_out = switch[..., -1:] * p_vocab
+        for idx in range(len(ptr_src)):
+            p_out = p_out + switch[..., idx:idx + 1] * copy_dists[idx]
+    else:
+        gen_vec = jnp.concatenate(
+            [decoded, gen_vec_parts[2], encoded_tgt], axis=-1)
+        g = jax.nn.sigmoid(
+            linear(p["pointer_gen_W"], gen_vec).astype(jnp.float32))
+        p_out = (1.0 - g) * copy_dists[0] + g * p_vocab
+    return jnp.log(p_out)
+
+
 def apply_generator(p: Params, cfg: ModelConfig, lut: jnp.ndarray,
                     ft: Dict[str, jnp.ndarray], tokens: Dict[str, jnp.ndarray],
                     ft_key: str = "decoded_text",

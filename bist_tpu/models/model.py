@@ -40,16 +40,6 @@ from bist_tpu.vocab import PAD
 
 FT = Dict[str, jnp.ndarray]
 
-# Pre-project pointer-attention keys once per batch in the decode context
-# (vs re-projecting every step).  MEASURED SLOWER on the v5e (0.93x,
-# scripts/bench_pack_ab.py --what ptrk, interleaved in-process A/B): the
-# per-step reprojection fuses into the attention einsum while the
-# precomputed K is an extra HBM-resident buffer carried through the scan.
-# Default OFF; numerically identical either way.  Read at trace time.
-import os as _os
-
-PTR_K_PRECOMPUTE = _os.environ.get("BIST_PTR_K", "0") != "0"
-
 
 # ---------------------------------------------------------------------------
 # Init
@@ -212,15 +202,31 @@ def forward_logprobs(params: Params, cfg: ModelConfig, batch: Batch,
 # Incremental decoding
 
 
+class PtrSource(NamedTuple):
+    """One pointer-generator source, fully precomputed for decoding:
+    the projected key tensor, the scatter one-hot (text ids → vocab columns,
+    built ONCE per batch instead of re-materialised every decode step), the
+    raw encoded text for the context vector, and the validity mask (with
+    <unk> already banned when cfg.mask_unk).  All at B rows — shared across
+    beam hypotheses of the same batch element."""
+    text: jnp.ndarray      # (B, Ltext) int32
+    enc: jnp.ndarray       # (B, Ltext, D)
+    mask: jnp.ndarray      # (B, 1, Ltext)
+    k: jnp.ndarray         # (B, 1, Ltext, D) head-split pointer keys
+    onehot: jnp.ndarray    # (B, Ltext, V) float32
+
+
 class DecodeCtx(NamedTuple):
     """Everything target-independent, precomputed once per batch:
     per-layer cross-attention K/V (already head-split) + masks + generator
-    sources.  A pure pytree — safe to jit over and to tile across beams."""
+    sources.  A pure pytree — safe to jit over.  Kept at B rows even under
+    beam search: decode_step folds the beam axis into the cross-attention
+    query-position axis, so the context is never tiled per hypothesis."""
     layer_kv: Tuple[Dict[str, Tuple[jnp.ndarray, jnp.ndarray]], ...]
     masks: Dict[str, Optional[jnp.ndarray]]
     ft: FT                      # encoded_query/cap/his (+ encoded_ft etc. unused)
     tokens: Dict[str, jnp.ndarray]
-    ptr_k: Tuple[jnp.ndarray, ...]   # per-source pre-projected pointer keys
+    ptr_src: Tuple[PtrSource, ...]
 
 
 class DecodeCache(NamedTuple):
@@ -261,24 +267,32 @@ def precompute_decode_ctx(params: Params, cfg: ModelConfig,
     toks = generator_tokens(batch, masks)
     keep = ("encoded_query", "encoded_cap", "encoded_his")
     ctx_ft = {k: v for k, v in ft.items() if k in keep}
-    # pre-project the pointer-attention keys (sources are target-independent)
-    ptr_k = ()
-    if cfg.ptr_gen and PTR_K_PRECOMPUTE:
+    # pointer sources: keys projected + scatter one-hot built ONCE per batch
+    # (both are target-independent; the reference reprojects/scatters every
+    # step, generator.py:62-67,113-114)
+    ptr_src = ()
+    if cfg.ptr_gen:
         from bist_tpu.models.generator import _source, pointer_k
 
-        ptr_k = tuple(
-            pointer_k(params["gen"]["pointer_attn"][i],
-                      _source(name, ctx_ft, toks)[1])
-            for i, name in enumerate(cfg.ptr_ft_list))
+        srcs = []
+        for i, name in enumerate(cfg.ptr_ft_list):
+            text, enc, mask = _source(name, ctx_ft, toks)
+            if cfg.mask_unk:
+                mask = mask & (text != 0)[:, None, :]
+            srcs.append(PtrSource(
+                text=text, enc=enc, mask=mask,
+                k=pointer_k(params["gen"]["pointer_attn"][i], enc),
+                onehot=jax.nn.one_hot(text, cfg.vocab_size, dtype=jnp.float32)))
+        ptr_src = tuple(srcs)
     return DecodeCtx(layer_kv=tuple(layer_kv), masks=masks, ft=ctx_ft,
-                     tokens=toks, ptr_k=ptr_k)
+                     tokens=toks, ptr_src=ptr_src)
 
 
-def init_cache(cfg: ModelConfig, batch_size: int, max_len: int) -> DecodeCache:
+def init_cache(cfg: ModelConfig, batch_size: int, max_len: int,
+               dtype=jnp.float32) -> DecodeCache:
     shape = (cfg.nb_blocks, batch_size, cfg.att_h, max_len,
              cfg.d_model // cfg.att_h)
-    return DecodeCache(k=jnp.zeros(shape, jnp.float32),
-                       v=jnp.zeros(shape, jnp.float32))
+    return DecodeCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
 def _mha_cached_self(p_attn: Params, h: int, x: jnp.ndarray,
@@ -296,8 +310,8 @@ def _mha_cached_self(p_attn: Params, h: int, x: jnp.ndarray,
         q_p, k_p, v_p = (linear(p_attn["wq"], x), linear(p_attn["wk"], x),
                          linear(p_attn["wv"], x))
     Q = split_heads(q_p, h)                              # (B, h, 1, dk)
-    K1 = split_heads(k_p, h)
-    V1 = split_heads(v_p, h)
+    K1 = split_heads(k_p, h).astype(cache_k.dtype)
+    V1 = split_heads(v_p, h).astype(cache_v.dtype)
     cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, K1, pos, axis=2)
     cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, V1, pos, axis=2)
     Lmax = cache_k.shape[2]
@@ -308,26 +322,43 @@ def _mha_cached_self(p_attn: Params, h: int, x: jnp.ndarray,
     return out, cache_k, cache_v
 
 
-def _mha_cross_cached(p_attn: Params, h: int, x: jnp.ndarray, KV, mask):
+def _mha_cross_cached(p_attn: Params, h: int, x: jnp.ndarray, KV, mask,
+                      beam: int):
+    """Cross-attention of `beam` hypothesis rows per batch element against a
+    SHARED (un-tiled) precomputed K/V.
+
+    x: (B·beam, 1, D); KV: (B, h, Lk, d_k); mask: (B, 1, Lk).  The beam axis
+    folds into the query-position axis — cross-attention has no structure
+    over query positions, so K hypotheses of one batch element are just K
+    query rows.  vs tiling the context per hypothesis (round ≤2) this reads
+    each K/V from HBM once per batch element instead of `beam` times and
+    feeds the MXU (beam × Lk) score matmuls instead of (1 × Lk)."""
     K, V = KV
-    Q = split_heads(linear(p_attn["wq"], x), h)
+    B = K.shape[0]
+    xf = x.reshape(B, beam, x.shape[-1])
+    Q = split_heads(linear(p_attn["wq"], xf), h)         # (B, h, beam, dk)
     if mask is not None:
-        mask = mask[..., None, :, :]
+        mask = mask[..., None, :, :]                     # (B, 1, 1, Lk)
     attn = attention_weights(Q, K, mask, 0.0, None)
-    return linear(p_attn["wo"], merge_heads(
-        jnp.einsum("...qk,...kd->...qd", attn, V)))
+    out = linear(p_attn["wo"], merge_heads(
+        jnp.einsum("...qk,...kd->...qd", attn, V)))      # (B, beam, D)
+    return out.reshape(x.shape)
 
 
 def decode_step(params: Params, cfg: ModelConfig, ctx: DecodeCtx,
-                cache: DecodeCache, token: jnp.ndarray, pos) -> Tuple[jnp.ndarray, DecodeCache]:
-    """Advance one token.  token: (B,) int32 ids at absolute position `pos`
-    (0 = <sos>).  Returns (log-probs (B, V), updated cache).
+                cache: DecodeCache, token: jnp.ndarray, pos,
+                beam: int = 1) -> Tuple[jnp.ndarray, DecodeCache]:
+    """Advance one token for B·beam hypothesis rows.  token: (B·beam,) int32
+    ids at absolute position `pos` (0 = <sos>).  `ctx` stays at B rows (never
+    tiled); `cache` has B·beam rows.  Returns (log-probs (B·beam, V), updated
+    cache).
 
     Eval mode (no dropout) — matches generation (generate.py:26 model.eval)."""
+    from bist_tpu.models.generator import apply_generator_step
     from bist_tpu.models.layers import ffn  # local to avoid cycle noise
 
     pe = positional_encoding_table(cfg.d_model, cfg.max_pos)
-    x = embed(params["embed"], token[:, None], cfg.d_model)    # (B, 1, D)
+    x = embed(params["embed"], token[:, None], cfg.d_model)    # (B·beam, 1, D)
     x = add_positional(pe, x, 0.0, None, offset=pos)
     encoded_tgt = x
     dec = params["decoder"]
@@ -343,10 +374,12 @@ def decode_step(params: Params, cfg: ModelConfig, ctx: DecodeCtx,
         x = x + out
         x = x + _mha_cross_cached(lp["his"]["attn"], cfg.att_h,
                                   layer_norm(lp["his"]["norm"], x),
-                                  ctx.layer_kv[n]["his"], ctx.masks["his_mask"])
+                                  ctx.layer_kv[n]["his"], ctx.masks["his_mask"],
+                                  beam)
         x = x + _mha_cross_cached(lp["query"]["attn"], cfg.att_h,
                                   layer_norm(lp["query"]["norm"], x),
-                                  ctx.layer_kv[n]["query"], ctx.masks["query_mask"])
+                                  ctx.layer_kv[n]["query"],
+                                  ctx.masks["query_mask"], beam)
         parallel_st = (cfg.nb_venc_blocks > 0 and cfg.enc_st_combine == "none"
                        and cfg.dec_st_combine != "seq" and cfg.both_directions)
         i = 0
@@ -356,25 +389,26 @@ def decode_step(params: Params, cfg: ModelConfig, ctx: DecodeCtx,
                 t = _mha_cross_cached(lp["temporal"]["attn"], cfg.att_h,
                                       layer_norm(lp["temporal"]["norm"], x),
                                       ctx.layer_kv[n]["temporal"],
-                                      ctx.masks["query_mask"])
+                                      ctx.masks["query_mask"], beam)
                 s = _mha_cross_cached(lp["spatial"]["attn"], cfg.att_h,
                                       layer_norm(lp["spatial"]["norm"], x),
                                       ctx.layer_kv[n]["spatial"],
-                                      ctx.masks["query_mask"])
+                                      ctx.masks["query_mask"], beam)
                 x = (x + t) + (x + s)   # ref: in_x = sublayer_t(x) + sublayer_s(x)
                 i += 2
                 continue
             x = x + _mha_cross_cached(lp[name]["attn"], cfg.att_h,
                                       layer_norm(lp[name]["norm"], x),
-                                      ctx.layer_kv[n][name], ctx.masks[mask_key])
+                                      ctx.layer_kv[n][name],
+                                      ctx.masks[mask_key], beam)
             i += 1
         x = x + ffn(lp["ff"]["ff"], layer_norm(lp["ff"]["norm"], x), 0.0, None)
 
-    decoded = layer_norm(dec["norm"], x)                      # (B, 1, D)
-    ft = dict(ctx.ft)
-    ft["decoded_text"] = decoded
-    ft["encoded_tgt"] = encoded_tgt
-    logp = apply_generator(params["gen"], cfg, params["embed"]["lut"], ft,
-                           ctx.tokens,
-                           ptr_k=list(ctx.ptr_k) if ctx.ptr_k else None)  # (B, 1, V)
-    return logp[:, 0], DecodeCache(k=jnp.stack(new_k), v=jnp.stack(new_v))
+    decoded = layer_norm(dec["norm"], x)                      # (B·beam, 1, D)
+    B = decoded.shape[0] // beam
+    logp = apply_generator_step(
+        params["gen"], cfg, params["embed"]["lut"],
+        decoded.reshape(B, beam, -1), encoded_tgt.reshape(B, beam, -1),
+        ctx.ptr_src)                                          # (B, beam, V)
+    return logp.reshape(B * beam, -1), \
+        DecodeCache(k=jnp.stack(new_k), v=jnp.stack(new_v))

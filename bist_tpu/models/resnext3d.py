@@ -31,7 +31,10 @@ import numpy as np
 
 Params = Dict[str, Any]
 
-BLOCK_COUNTS = (3, 4, 23, 3)       # ResNeXt-101
+# Reference zoo depths (video-classification-3d-cnn-pytorch/model.py:54-64,
+# models/resnext.py:169-185): same bottleneck/planes, different block counts.
+DEPTH_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+BLOCK_COUNTS = DEPTH_BLOCKS[101]
 CARDINALITY = 32
 PLANES = (128, 256, 512, 1024)     # mid widths per stage (resnext.py:175)
 EXPANSION = 2                      # out = planes * 2
@@ -60,9 +63,11 @@ def _bn_identity(c):
 
 
 def init_resnext101(key: jax.Array, in_ch: int = 3,
-                    n_classes: int = 0) -> Params:
-    keys = jax.random.split(key, 128)
-    ki = iter(range(128))
+                    n_classes: int = 0, depth: int = 101) -> Params:
+    """Random ResNeXt-3D params at `depth` ∈ {50, 101, 152} (reference zoo
+    model.py:54-64; the stage widths/cardinality are depth-invariant)."""
+    keys = jax.random.split(key, 256)
+    ki = iter(range(255))
     p: Params = {
         "stem": {"conv": _conv_init(keys[next(ki)], (7, 7, 7, in_ch, 64)),
                  "bn": _bn_identity(64)},
@@ -70,7 +75,7 @@ def init_resnext101(key: jax.Array, in_ch: int = 3,
     }
     c_in = 64
     for s, (n_blocks, planes, stride) in enumerate(
-            zip(BLOCK_COUNTS, PLANES, STAGE_STRIDES)):
+            zip(DEPTH_BLOCKS[depth], PLANES, STAGE_STRIDES)):
         stage: List[Params] = []
         c_out = planes * EXPANSION
         for b in range(n_blocks):
@@ -91,7 +96,7 @@ def init_resnext101(key: jax.Array, in_ch: int = 3,
             c_in = c_out
         p["stages"].append(stage)
     if n_classes > 0:
-        p["fc"] = {"w": _conv_init(keys[127], (c_in, n_classes)),
+        p["fc"] = {"w": _conv_init(keys[255], (c_in, n_classes)),
                    "b": jnp.zeros((n_classes,))}
     return p
 
@@ -208,13 +213,27 @@ def load_torch_resnext(ckpt_path: str) -> Params:
 
     blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     sd = blob.get("state_dict", blob)
+    return convert_torch_resnext(sd)
+
+
+def convert_torch_resnext(sd) -> Params:
+    """torch state_dict (any of resnext 50/101/152) → folded-BN pytree."""
     sd = {k.replace("module.", ""): v for k, v in sd.items()}
+
+    # infer the depth from the per-stage block counts in the state dict —
+    # the same checkpoint format covers resnext 50/101/152 (model.py:54-64)
+    counts = tuple(
+        1 + max(int(k.split(".")[1]) for k in sd
+                if k.startswith(f"layer{s + 1}."))
+        for s in range(4))
+    if counts not in DEPTH_BLOCKS.values():
+        raise ValueError(f"unrecognised ResNeXt block counts {counts}")
 
     p: Params = {"stem": {"conv": _conv_w(sd, "conv1"),
                           "bn": _fold_bn(sd, "bn1")}, "stages": []}
     c_in = 64
     for s, (n_blocks, planes, stride) in enumerate(
-            zip(BLOCK_COUNTS, PLANES, STAGE_STRIDES)):
+            zip(counts, PLANES, STAGE_STRIDES)):
         stage = []
         c_out = planes * EXPANSION
         for b in range(n_blocks):

@@ -101,13 +101,17 @@ def main(argv=None):
         resnext101_apply)
 
     if args.model_name == "resnext":
-        if args.model_depth != 101:
-            sys.exit("only ResNeXt-101 is implemented for resnext")
+        from bist_tpu.models.resnext3d import DEPTH_BLOCKS
+
+        if args.model_depth not in DEPTH_BLOCKS:
+            sys.exit(f"resnext depth must be one of {sorted(DEPTH_BLOCKS)} "
+                     "(reference model.py:54-64)")
         if args.model:
-            params = load_torch_resnext(args.model)
+            params = load_torch_resnext(args.model)  # depth inferred from sd
             print(f"loaded checkpoint {args.model}")
         else:
-            params = init_resnext101(jax.random.PRNGKey(0))
+            params = init_resnext101(jax.random.PRNGKey(0),
+                                     depth=args.model_depth)
             print("WARNING: random init (no --model checkpoint)")
         backbone = lambda p, c, mode: resnext101_apply(p, c, mode=mode)
     else:

@@ -30,8 +30,7 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--what", default="both",
-                    choices=["train", "decode", "ptrk", "prng", "adam",
-                             "both"])
+                    choices=["train", "decode", "prng", "adam", "both"])
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
@@ -103,13 +102,8 @@ def main():
 
     gcfg = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5)
 
-    from bist_tpu.models import model as model_mod
-
-    def build_decode_chain(pack: bool, ptrk: bool = False):
-        # ptrk default mirrors the SHIPPED default (model.PTR_K_PRECOMPUTE
-        # is off) so --what decode measures the program users actually run
+    def build_decode_chain(pack: bool):
         layers.PACK_PROJECTIONS = pack
-        model_mod.PTR_K_PRECOMPUTE = ptrk
 
         @partial(jax.jit, static_argnames="n")
         def chain(params, batch, n):
@@ -211,13 +205,9 @@ def main():
         print(f"train step  packed: {pa:.2f} ms  separate: {se:.2f} ms  "
               f"(packed speedup {se / max(pa, 1e-9):.3f}x)")
 
-    if args.what == "ptrk":
-        dc_pack = build_decode_chain(False, ptrk=True)   # A = ptr_k precomputed
-        dc_sep = build_decode_chain(False, ptrk=False)   # B = per-step reproject
-    if args.what in ("decode", "ptrk", "both"):
-        if args.what != "ptrk":
-            dc_pack = build_decode_chain(True)
-            dc_sep = build_decode_chain(False)
+    if args.what in ("decode", "both"):
+        dc_pack = build_decode_chain(True)
+        dc_sep = build_decode_chain(False)
         pa_1, se_1 = interleave(lambda: float(dc_pack(params, batch, n=2)),
                                 lambda: float(dc_sep(params, batch, n=2)),
                                 args.reps)
@@ -226,8 +216,7 @@ def main():
                                 args.reps)
         pa = max(pa_2 - pa_1, 0.0) / 4 * 1e3
         se = max(se_2 - se_1, 0.0) / 4 * 1e3
-        la, lb = (("ptr_k-pre", "reproject") if args.what == "ptrk"
-                  else ("packed", "separate"))
+        la, lb = ("packed", "separate")
         print(f"beam batch  {la}: {pa:.2f} ms  {lb}: {se:.2f} ms  "
               f"(A speedup {se / max(pa, 1e-9):.3f}x; batch {B}, "
               f"{B / max(pa, 1e-9) * 1e3:.0f} vs {B / max(se, 1e-9) * 1e3:.0f} resp/s)")

@@ -2,6 +2,8 @@
 preprocessing, and numerical parity against an independent torch
 implementation of one grouped bottleneck block."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -77,6 +79,52 @@ def test_grouped_bottleneck_matches_torch():
         ref = bn_t(conv)
     ref = np.transpose(ref.numpy(), (0, 2, 3, 4, 1))
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("depth", [50, 101, 152])
+def test_resnext_depths_match_torch(depth):
+    """Full-network forward parity vs the ACTUAL reference torch ResNeXt at
+    every zoo depth (reference models/resnext.py:169-185, model.py:54-64):
+    random-init torch model → convert_torch_resnext (folded BN, depth
+    inferred from the state dict) → feature equality on a small clip."""
+    torch = pytest.importorskip("torch")
+    REF = "/root/reference/video-classification-3d-cnn-pytorch"
+    if not os.path.isdir(os.path.join(REF, "models")):
+        pytest.skip("reference extractor not available")
+    import sys
+
+    sys.path.insert(0, REF)
+    try:
+        from models import resnext as ref_resnext
+    finally:
+        sys.path.remove(REF)
+
+    from bist_tpu.models.resnext3d import convert_torch_resnext
+
+    torch.manual_seed(depth)
+    tmodel = getattr(ref_resnext, f"resnet{depth}")(
+        sample_size=32, sample_duration=16, num_classes=7, last_fc=False,
+        spatio_temporal=1)
+    tmodel.eval()
+
+    params = convert_torch_resnext(tmodel.state_dict())
+    assert tuple(len(s) for s in params["stages"]) == \
+        __import__("bist_tpu.models.resnext3d",
+                   fromlist=["DEPTH_BLOCKS"]).DEPTH_BLOCKS[depth]
+
+    rng = np.random.default_rng(depth)
+    clip = rng.standard_normal((1, 16, 32, 32, 3)).astype(np.float32)
+    ours = np.asarray(resnext101_apply(params, jnp.asarray(clip),
+                                       mode="spatio_temporal"))
+    x = torch.from_numpy(np.transpose(clip, (0, 4, 1, 2, 3)).copy())
+    with torch.no_grad():
+        # forward returns {'spatio-temporal': (N, C, h, w)} (resnext.py:135-137)
+        ref = tmodel(x)["spatio-temporal"]
+    ref = ref.numpy()
+    N, C, h, w = ref.shape
+    ref = np.transpose(ref.reshape(N, C, h * w), (0, 2, 1))
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=5e-3)
 
 
 def test_extract_video_features_shapes():
