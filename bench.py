@@ -207,7 +207,9 @@ def main():
         "value": round(rps, 2),
         "unit": ("responses/sec/chip (beam=5, maxlen=12, d_model=128, "
                  "feature grids staged in HBM"
-                 + (", chained dispatch)" if chained else ")")),
+                 + (", chained dispatch — ~5% above per-call dispatch, "
+                    "the basis of the 2.0/s reference estimate)"
+                    if chained else ")")),
         "vs_baseline": round(rps / REFERENCE_GPU_RESP_PER_SEC, 2),
     }))
 

@@ -37,15 +37,26 @@ NEG_INF = -1e9
 class RngGen:
     """Deterministic per-site dropout key generator for use during tracing.
 
-    Holds a base PRNG key; each next() folds in a fresh site counter.  Pass
-    None instead of an RngGen to disable dropout (eval mode)."""
+    Holds a base PRNG key; each next() yields a fresh site key.  Pass None
+    instead of an RngGen to disable dropout (eval mode).
 
-    def __init__(self, key: jax.Array):
+    presplit > 0 derives the first `presplit` site keys with ONE vectorized
+    `jax.random.split` instead of a per-site `fold_in` chain: at the
+    flagship config a train step hits ~60 dropout sites, and under the rbg
+    impl each fold_in is still a software hash op — batching them into one
+    split removes ~60 tiny ops from the latency-bound step (A/B in
+    scripts/bench_pack_ab.py --what presplit).  Sites beyond the pool fall
+    back to fold_in (same determinism, different stream than presplit=0)."""
+
+    def __init__(self, key: jax.Array, presplit: int = 0):
         self._key = key
         self._n = 0
+        self._keys = jax.random.split(key, presplit) if presplit > 0 else None
 
     def next(self) -> jax.Array:
         self._n += 1
+        if self._keys is not None and self._n <= self._keys.shape[0]:
+            return self._keys[self._n - 1]
         return jax.random.fold_in(self._key, self._n)
 
 
@@ -96,7 +107,10 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 # decoding (the weight concat lives inside the scan body and XLA already
 # pipelines the separate small GEMMs well), so the default is OFF.  The
 # lowering is numerically identical (tests/test_pack_projections.py); flip
-# BIST_PACK_QKV=1 to re-measure on other hardware/widths.
+# BIST_PACK_QKV=1 to re-measure on other hardware/widths.  NOTE: read at
+# trace time — set the env var BEFORE the first jit trace (toggling later
+# does not retrace already-compiled functions); benches that flip it
+# mid-process retrace explicitly (scripts/bench_pack_ab.py).
 import os as _os
 
 PACK_PROJECTIONS = _os.environ.get("BIST_PACK_QKV", "0") != "0"
@@ -232,7 +246,12 @@ def _flash_path(Q, K, V, mask, h):
     if mask is not None:
         # mha masks are kv-validity rows broadcast over Lq/heads
         mb = jnp.broadcast_to(mask[..., 0, :], lead + (Lk,)).reshape(-1, Lk)
-    out = flash_attention(Qb, Kb, Vb, mb)
+    # interpret mode off-TPU so the dispatch path itself is testable on the
+    # CPU mesh (tests/test_bist_flash_integration.py); no-op on TPU
+    import jax as _jax
+
+    out = flash_attention(Qb, Kb, Vb, mb,
+                          interpret=_jax.default_backend() == "cpu")
     return out.reshape(lead + (Lq, dk))
 
 

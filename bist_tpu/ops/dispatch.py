@@ -29,6 +29,17 @@ mark the capacity frontier, not a latency crossover:
 
 Numbers measured on this image's tunnelled v5e; re-run
 scripts/bench_kernels.py to recalibrate on other hardware.
+
+WHO REACHES THE FLASH REGIME: `mha` dispatches the flash kernel only at
+d_k ≥ 64 AND kv ≥ FLASH_MIN_KV.  The d_model=128 flagship (d_k=16) NEVER
+does — by measurement, not omission (the kernel pads d_k to 128 lanes, 8×
+K/V traffic; XLA wins at every length there).  The supported configuration
+family that does reach it: the reference's own d_model=512 default width
+(configs/train_configs.py → d_k=64 at h=8) with long histories or
+long-video token axes ≥ 32768 (train.py --d-model 512 --att-h 8,
+--max-history-length unbounded) — exercised end-to-end through mha's
+dispatch in tests/test_bist_flash_integration.py.  The hop-1 streaming
+kernel engages by total grid bytes regardless of width.
 """
 
 # kv length above which XLA's materialised score/K-V tensors approach HBM

@@ -17,7 +17,7 @@ Design for TPU:
 Usage:
     responder = Responder(params, cfg, vocab, gcfg)
     responder.warmup()
-    server = DynamicBatcher(responder, max_batch=32, max_wait_ms=10)
+    server = DynamicBatcher(responder, max_batch=64, max_wait_ms=10)
     server.start()
     answer = server.submit(question, history, caption, features)   # blocking
 """
@@ -54,9 +54,10 @@ class Responder:
     """Owns params + the jitted beam search; turns Requests into answers."""
 
     def __init__(self, params, cfg: ModelConfig, vocab: Dict[str, int],
-                 gcfg: GenerateConfig, max_batch: int = 32,
+                 gcfg: GenerateConfig, max_batch: int = 64,
                  len_buckets=(16, 32, 64, 128, 256),
-                 time_buckets=(16, 32, 48, 64)):
+                 time_buckets=(16, 32, 48, 64),
+                 batch_buckets: Optional[Tuple[int, ...]] = None):
         import jax
 
         self.params = params
@@ -64,17 +65,39 @@ class Responder:
         self.gcfg = gcfg
         self.id2word = make_id2word(vocab)
         self.vocab = vocab
+        # max_batch default 64 = the measured decode-optimal batch on the
+        # v5e (bench.py sweep, BENCH.md); was 32 in rounds ≤2.
         self.max_batch = max_batch
         self.len_buckets = tuple(len_buckets)
         self.time_buckets = tuple(time_buckets)
+        # queue-depth-aware batch geometry: each incoming group of requests
+        # is padded to the SMALLEST compiled batch bucket that fits it, so a
+        # lightly-loaded server does not pay full-max_batch decode latency
+        # for 3 queued requests; under saturation every batch is max_batch.
+        if batch_buckets is None:
+            batch_buckets = tuple(b for b in (8, 16, 32) if b < max_batch) \
+                + (max_batch,)
+        self.batch_buckets = tuple(sorted(batch_buckets))
+        assert self.batch_buckets[-1] == max_batch
         # serve data-parallel (rows sharded, params replicated — same recipe
         # as generate.py; no-op on one device).  The mesh uses the LARGEST
-        # device count that divides max_batch (rows are always padded to
-        # max_batch in make_batch, so that is the sharded dimension).
+        # device count that divides every batch bucket (the sharded dim).
         from bist_tpu.parallel.mesh import DataParallel
 
         n_avail = len(jax.devices())
-        n_use = max(n for n in range(1, n_avail + 1) if max_batch % n == 0)
+        n_use = max(n for n in range(1, n_avail + 1)
+                    if all(b % n == 0 for b in self.batch_buckets))
+        import logging
+
+        log = logging.getLogger(__name__)
+        log.info("serving mesh: %d of %d device(s), batch buckets %s",
+                 n_use, n_avail, self.batch_buckets)
+        if n_use < n_avail:
+            log.warning(
+                "serving uses %d of %d available devices (largest count "
+                "dividing all batch buckets %s) — raise max_batch or pass "
+                "batch_buckets divisible by %d to use every chip",
+                n_use, n_avail, self.batch_buckets, n_avail)
         self._dp = DataParallel(num_devices=n_use)
         self.params = self._dp.put_replicated(params)
         self._beam = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
@@ -82,8 +105,15 @@ class Responder:
     def tokenize(self, text: str) -> np.ndarray:
         return words2ids(text, self.vocab)
 
+    def batch_rows(self, n_reqs: int) -> int:
+        """Smallest compiled batch bucket covering `n_reqs` rows."""
+        for b in self.batch_buckets:
+            if n_reqs <= b:
+                return b
+        return self.batch_buckets[-1]
+
     def make_batch(self, reqs: List[Request]) -> Batch:
-        n = self.max_batch
+        n = self.batch_rows(len(reqs))
         dummy = np.full((n, 1), SOS, np.int32)
 
         def tok(field_vals, default_len=1):
@@ -135,24 +165,35 @@ class Responder:
             r._event.set()
 
     def warmup(self, feature_shape: Optional[Tuple[int, ...]] = None,
-               lens=(16,), t_clips=16) -> None:
-        """Compile the serve-time geometry before taking traffic."""
-        req = Request(
-            question=np.array([SOS, 4, 3], np.int32),
-            history=np.array([PAD], np.int32),
-            caption=np.array([PAD], np.int32) if self.cfg.has_caption else None,
-            features=np.zeros((t_clips,) + tuple(
-                feature_shape or (16, self.cfg.ft_sizes[0])), np.float32)
-            if self.cfg.has_video else None,
-            audio=np.zeros((t_clips, self.cfg.ft_sizes[1]), np.float32)
-            if self.cfg.has_audio else None)
-        self.respond([req])
+               lens=(16,), t_clips=16, all_batch_buckets: bool = False) -> None:
+        """Compile the serve-time geometry before taking traffic.
+
+        all_batch_buckets=True compiles every batch bucket (one program per
+        bucket) so no request group ever hits a serve-time compile; default
+        warms only the smallest bucket (the others compile on first use)."""
+
+        def mk():
+            return Request(
+                question=np.array([SOS, 4, 3], np.int32),
+                history=np.array([PAD], np.int32),
+                caption=(np.array([PAD], np.int32)
+                         if self.cfg.has_caption else None),
+                features=np.zeros((t_clips,) + tuple(
+                    feature_shape or (16, self.cfg.ft_sizes[0])), np.float32)
+                if self.cfg.has_video else None,
+                audio=np.zeros((t_clips, self.cfg.ft_sizes[1]), np.float32)
+                if self.cfg.has_audio else None)
+
+        buckets = self.batch_buckets if all_batch_buckets \
+            else self.batch_buckets[:1]
+        for b in buckets:
+            self.respond([mk() for _ in range(b)])
 
 
 class DynamicBatcher:
     """Background thread coalescing requests into Responder batches."""
 
-    def __init__(self, responder: Responder, max_batch: int = 32,
+    def __init__(self, responder: Responder, max_batch: int = 64,
                  max_wait_ms: float = 10.0):
         self.responder = responder
         self.max_batch = min(max_batch, responder.max_batch)

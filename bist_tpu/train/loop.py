@@ -53,8 +53,13 @@ def create_train_state(key: jax.Array, cfg: ModelConfig, tcfg: TrainConfig,
 
 def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
                     tx: optax.GradientTransformation, donate: bool = True,
-                    jit_compile: bool = True, grad_accum: int = 1):
+                    jit_compile: bool = True, grad_accum: int = 1,
+                    rng_presplit: int = 0):
     """Returns jitted (state, batch, rng_key) → (state, metrics).
+
+    rng_presplit > 0 derives that many dropout site keys with one vectorized
+    split instead of per-site fold_in chains (see layers.RngGen; changes the
+    dropout bit stream, like the rbg/threefry choice does).
 
     jit_compile=False returns the raw step for callers that compose it into
     a larger program (e.g. scan-chained benchmarking).
@@ -69,7 +74,8 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
     def loss_fn(params, batch: Batch, key, norm_override=None):
         # attn_dropout is active in the reference's train mode even when
         # --dropout 0 (mtn.py:77 hardcodes the MHA default 0.1)
-        rngs = RngGen(key) if (cfg.dropout > 0 or cfg.attn_dropout > 0) else None
+        rngs = (RngGen(key, presplit=rng_presplit)
+                if (cfg.dropout > 0 or cfg.attn_dropout > 0) else None)
         logp, ft = forward_logprobs(params, cfg, batch, rngs=rngs)
         loss, metrics = compute_losses(logp, ft, params["embed"]["lut"], cfg,
                                        batch, tcfg.smoothing,

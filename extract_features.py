@@ -179,13 +179,22 @@ def main(argv=None):
                 batch_size=args.batch_size, mode=mode, apply_fn=apply_fn)
             if mode == "score":
                 # classification output (reference --mode score): per-clip
-                # top-5 Kinetics class ids + scores as json
+                # top-5 Kinetics class ids + scores as json; `segment` is
+                # the clip's 1-based [first, last] frame range (the contract
+                # generate_result_video.py consumes, reference
+                # generate_result_video.py:62-63)
+                from bist_tpu.models.resnext3d import make_clip_windows
+
+                windows = make_clip_windows(len(frames),
+                                            args.sample_duration, args.stride)
                 top = np.argsort(-feats, axis=-1)[:, :5]
                 out_json = os.path.join(args.output, vid + ".json")
                 with open(out_json, "w") as f:
                     json.dump({"video": vid, "clips": [
                         {"top5": [int(c) for c in row],
-                         "scores": [float(feats[k, c]) for c in row]}
+                         "scores": [float(feats[k, c]) for c in row],
+                         "segment": [windows[k][0] + 1,
+                                     max(windows[k]) + 1]}
                         for k, row in enumerate(top)]}, f, indent=1)
                 print(f"[{i + 1}/{len(entries)}] {vid}: scored "
                       f"{feats.shape[0]} clips")

@@ -30,7 +30,8 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--what", default="both",
-                    choices=["train", "decode", "prng", "adam", "both"])
+                    choices=["train", "decode", "prng", "adam", "presplit",
+                             "both"])
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
@@ -82,9 +83,11 @@ def main():
                                       step=jnp.zeros((), jnp.int32)))
     key = jax.device_put(jax.random.PRNGKey(1))
 
-    def build_train_chain(pack: bool):
+    def build_train_chain(pack: bool, presplit: int = 0, warm_key=None):
         layers.PACK_PROJECTIONS = pack
-        raw_step = make_train_step(cfg, tcfg, tx, jit_compile=False)
+        raw_step = make_train_step(cfg, tcfg, tx, jit_compile=False,
+                                   rng_presplit=presplit)
+        warm_key = key if warm_key is None else warm_key
 
         @partial(jax.jit, static_argnames="n")
         def chain(state, batch, key, n):
@@ -97,7 +100,7 @@ def main():
 
         # warm both chain lengths NOW, while the flag is set (trace time)
         for n in (n_it, 2 * n_it):
-            float(chain(state, batch, key, n=n))
+            float(chain(state, batch, warm_key, n=n))
         return chain
 
     gcfg = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5)
@@ -190,6 +193,25 @@ def main():
         tf = max(b_2n - b_n, 0.0) / n_it * 1e3
         print(f"train step  rbg: {rbg:.2f} ms  threefry: {tf:.2f} ms  "
               f"(rbg speedup {tf / max(rbg, 1e-9):.3f}x)")
+
+    if args.what == "presplit":
+        # dropout site-key derivation A/B: one vectorized split of 128 keys
+        # vs ~60 per-site fold_in hash chains (layers.RngGen presplit).
+        # Both run under the shipped rbg dropout keys.
+        key_rbg = jax.device_put(jax.random.key(1, impl="rbg"))
+        ch_pre = build_train_chain(False, presplit=128, warm_key=key_rbg)
+        ch_fold = build_train_chain(False, presplit=0, warm_key=key_rbg)
+        a_n, b_n = interleave(
+            lambda: float(ch_pre(state, batch, key_rbg, n=n_it)),
+            lambda: float(ch_fold(state, batch, key_rbg, n=n_it)), args.reps)
+        a_2n, b_2n = interleave(
+            lambda: float(ch_pre(state, batch, key_rbg, n=2 * n_it)),
+            lambda: float(ch_fold(state, batch, key_rbg, n=2 * n_it)),
+            args.reps)
+        pre = max(a_2n - a_n, 0.0) / n_it * 1e3
+        fold = max(b_2n - b_n, 0.0) / n_it * 1e3
+        print(f"train step  presplit: {pre:.2f} ms  fold_in: {fold:.2f} ms  "
+              f"(presplit speedup {fold / max(pre, 1e-9):.3f}x)")
 
     if args.what in ("train", "both"):
         ch_pack = build_train_chain(True)

@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--device", default="")
     ap.add_argument("--clients", type=int, default=32)
     ap.add_argument("--requests", type=int, default=128)
-    ap.add_argument("--max-batch", type=int, default=32)
+    ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
     ap.add_argument("--t-clips", type=int, default=16)
     ap.add_argument("--dv", type=int, default=2048)

@@ -30,7 +30,7 @@ def main(argv=None):
     p.add_argument("--model-conf", default="")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", default="127.0.0.1")
-    p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--max-wait-ms", type=float, default=10.0)
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--maxlen", type=int, default=12)

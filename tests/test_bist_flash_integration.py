@@ -53,3 +53,45 @@ def test_t2s_hop_uses_flash_at_large_T(rng, monkeypatch):
     assert calls["n"] >= 1, "flash path not taken at T >= threshold"
     np.testing.assert_allclose(np.asarray(flashed), np.asarray(baseline),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_mha_dispatches_flash_at_real_threshold(rng, monkeypatch):
+    """The flash kernel's REAL production regime, no threshold patching: the
+    reference-default width d_model=512 / h=8 gives d_k=64, and a history
+    (or long-video token axis) of FLASH_MIN_KV crosses the measured capacity
+    frontier (ops/dispatch.py) — a configuration family train.py supports
+    (--d-model 512 --att-h 8, --max-history-length unbounded).  Asserts
+    `mha`'s own dispatch takes the kernel there and that outputs equal the
+    materialising XLA path.  (At the d_model=128 flagship d_k=16 never
+    dispatches the kernel — by measurement, not omission: BENCH.md round 2.)"""
+    from bist_tpu.ops.dispatch import FLASH_MIN_KV
+
+    d_model, h = 512, 8           # reference configs/train_configs.py default
+    assert d_model // h >= 64
+    p = L.mha_init(jax.random.PRNGKey(0), h, d_model)
+    B, Lq, Lk = 1, 4, FLASH_MIN_KV
+    q = jnp.asarray(rng.standard_normal((B, Lq, d_model)), jnp.float32)
+    mem = jnp.asarray(
+        rng.standard_normal((B, Lk, d_model)), jnp.float32)
+    mask = jnp.ones((B, 1, Lk), jnp.int32).at[:, :, Lk // 2:].set(0)
+
+    import importlib
+
+    fa_mod = importlib.import_module("bist_tpu.ops.flash_attention")
+    real_flash = fa_mod.flash_attention
+    calls = {"n": 0}
+
+    def counting_flash(*a, **kw):
+        calls["n"] += 1
+        return real_flash(*a, **kw)
+
+    monkeypatch.setattr(fa_mod, "flash_attention", counting_flash)
+
+    out = L.mha(p, h, q, mem, mem, mask, drop_rate=0.0, rngs=None)
+    assert calls["n"] == 1, "mha did not dispatch the flash kernel at " \
+        f"d_k=64, kv={Lk}"
+    baseline = L.mha(p, h, q, mem, mem, mask, drop_rate=0.0, rngs=None,
+                     allow_flash=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(baseline),
+                               rtol=2e-4, atol=2e-4)

@@ -167,3 +167,80 @@ def test_training_dynamics_match_reference(ref_train_modules, rng, variant):
     our_logp, _ = forward_logprobs(state.params, cfg, our_eval, rngs=None)
     np.testing.assert_allclose(np.asarray(our_logp), ref_logp,
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_dropout_active_dynamics_statistical(ref_train_modules, rng):
+    """DROPOUT-ACTIVE long-horizon parity, statistical: N seeds × 100 steps
+    of ours (our dropout RNG) vs the reference torch stack (its own dropout
+    RNG), same initial weights, same batch cycle, reference dropout rates
+    active (dropout=0.2, the modules.py:67 attention-dropout default 0.1).
+
+    Both implementations are unbiased estimators of the same expected
+    training trajectory, so the across-seed mean of the late-phase response
+    loss must agree within the seed noise band.  This fails if dropout
+    PLACEMENT (which sublayers/activations are masked — modules.py:33-113)
+    or SCALING (inverted-dropout 1/keep) diverges: a missing or extra
+    dropout site shifts the expected loss by far more than the band.
+    Deterministic (fixed seeds) — not flaky."""
+    import torch
+
+    ref_mtn, ref_dataset, ref_optimize, ref_ls = ref_train_modules
+    SEEDS, N_STEPS, TAIL = 3, 100, 30
+    cfg = ModelConfig(vocab_size=V, nb_blocks=2, nb_venc_blocks=2,
+                      nb_cenc_blocks=2, d_model=16, att_h=2, dropout=0.2,
+                      attn_dropout=0.1,   # the reference's hardcoded default
+                      include_caption="summary", separate_caption=True,
+                      enc_st_combine="none", enc_vc_combine="dyn",
+                      dec_st_combine="seq", ft_sizes=(24,), nb_aenc_blocks=0)
+    tcfg = TrainConfig(warmup_steps=WARMUP, smoothing=0.1, noam_factor=1.0)
+    params0 = init_model(jax.random.PRNGKey(7), cfg)
+    pairs = _make_batches(rng, 4, cfg)
+
+    def ref_run(seed):
+        torch.manual_seed(1000 + seed)
+        model, args = build_ref_model_with_our_params(ref_mtn, cfg, params0)
+        model.train()                     # dropout ACTIVE
+        criterion = ref_ls.LabelSmoothing(size=V, padding_idx=PAD,
+                                          smoothing=0.1)
+        opt = ref_optimize.NoamOpt(
+            cfg.d_model, 1, WARMUP,
+            torch.optim.Adam(model.parameters(), lr=0, betas=(0.9, 0.98),
+                             eps=1e-9))
+        loss_compute = ref_optimize.SimpleLossCompute(
+            model.generator, model.ae_generator, criterion, opt=opt,
+            args=args)
+        traj = []
+        for i in range(N_STEPS):
+            (q, h_, fts, c, t, ty, audio), _ = pairs[i % len(pairs)]
+            rb = ref_dataset.Batch(_t(q), _t(h_), [fts], _t(c), _t(t), _t(ty),
+                                   PAD, ["v0", "v1"], [0, 1], audio_fts=None)
+            losses = loss_compute(model.forward(rb), rb)
+            traj.append(float(losses["out"]))
+        return traj
+
+    tx = make_optimizer(cfg.d_model, WARMUP, tcfg.noam_factor,
+                        tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps)
+    step_fn = make_train_step(cfg, tcfg, tx, donate=False)
+
+    def our_run(seed):
+        state = TrainState(params=params0, opt_state=tx.init(params0),
+                           step=jnp.zeros((), jnp.int32))
+        key = jax.random.PRNGKey(2000 + seed)
+        traj = []
+        for i in range(N_STEPS):
+            state, metrics = step_fn(state, pairs[i % len(pairs)][1],
+                                     jax.random.fold_in(key, i))
+            traj.append(float(metrics["out"]))
+        return traj
+
+    ref_tails = np.array([np.mean(ref_run(s)[-TAIL:]) for s in range(SEEDS)])
+    our_tails = np.array([np.mean(our_run(s)[-TAIL:]) for s in range(SEEDS)])
+
+    # mean/band overlap: the across-seed means must agree within the pooled
+    # seed-noise band (+ a small absolute floor for N=3 variance estimates).
+    band = 4.0 * np.sqrt(ref_tails.var(ddof=1) / SEEDS
+                         + our_tails.var(ddof=1) / SEEDS) + 0.02 * abs(
+        ref_tails.mean())
+    assert abs(our_tails.mean() - ref_tails.mean()) < band, (
+        our_tails, ref_tails, band)

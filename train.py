@@ -83,7 +83,10 @@ def build_parser():
                         "width — the ~60 dropout sites dominate the "
                         "latency-bound step, BENCH.md); threefry is the "
                         "jax default software hash (bit-reproducible with "
-                        "older runs).  Both are deterministic per seed.")
+                        "older runs).  rbg is deterministic per seed only on "
+                        "a fixed backend + XLA version (its bit streams are "
+                        "not stable across versions/backends); use threefry "
+                        "for cross-version bit-reproducibility.")
     p.add_argument("--batch-size", "-b", default=32, type=int)
     p.add_argument("--max-length", default=256, type=int)
     p.add_argument("--max-history-length", default=-1, type=int)
