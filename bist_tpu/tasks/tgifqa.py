@@ -148,6 +148,14 @@ def tgif_forward(params, cfg: ModelConfig, query: jnp.ndarray,
     query_mask = (query != PAD)[:, None, :].astype(jnp.int32)
 
     v = jax.nn.relu(linear(params["vid_enc"]["W"], fts))
+    # temporal positional encoding on the video grid (broadcast over the
+    # spatial axis).  The DIALOGUE model deliberately omits video PE for
+    # reference parity (--vid-pos is parsed but unwired there, mtn.py:108);
+    # TGIF-QA is this framework's own extension and its Transition task
+    # (before/after questions) is architecturally unsolvable without
+    # temporal order — tests/test_tgifqa.py::test_mc_heads_learn_heldout
+    # plateaus at the 0.5 ignore-the-cue ceiling with PE removed.
+    v = v + pe[: v.shape[1]][None, :, None, :]
     grid = layer_norm(params["vid_enc"]["in_norm"], v)
     temporal_mask = (jnp.sum(fts, axis=(2, 3)) != 0)[:, None, :] \
         .astype(jnp.int32)

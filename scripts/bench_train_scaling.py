@@ -113,24 +113,26 @@ def main():
 
             for B in batches:
                 batch = make_batch(B)
-                # FLOPs of ONE step from XLA's cost model of the un-chained
-                # compiled program
                 try:
-                    step_jit = jax.jit(lambda s, b, k: raw_step(s, b, k))
-                    ca = step_jit.lower(state, batch, key).compile() \
-                        .cost_analysis()
-                    if isinstance(ca, list):
-                        ca = ca[0]
-                    flops = float(ca.get("flops", float("nan")))
-                except Exception as e:  # cost model unavailable on backend
-                    print(f"cost_analysis failed ({e}); flops=nan",
-                          file=sys.stderr)
-                    flops = float("nan")
-                try:
+                    # AOT-compile both chain lengths once; the n_it chain's
+                    # cost analysis / n_it is the per-step FLOPs (same
+                    # program the timing runs — no extra compile)
+                    compiled = {n: chain.lower(state, batch, key, n=n)
+                                .compile() for n in (n_it, 2 * n_it)}
+                    try:
+                        ca = compiled[n_it].cost_analysis()
+                        if isinstance(ca, list):
+                            ca = ca[0]
+                        flops = float(ca.get("flops",
+                                             float("nan"))) / n_it
+                    except Exception as e:   # cost model backend-dependent
+                        print(f"cost_analysis failed ({e}); flops=nan",
+                              file=sys.stderr)
+                        flops = float("nan")
                     for n in (n_it, 2 * n_it):
-                        float(chain(state, batch, key, n=n))
+                        float(compiled[n](state, batch, key))   # warm
                     ms = chain_diff_ms(
-                        lambda n: float(chain(state, batch, key, n=n)),
+                        lambda n: float(compiled[n](state, batch, key)),
                         n_it, args.reps)
                 except Exception as e:
                     print(f"d={d_model} {dtype} B={B}: FAILED ({e})",
