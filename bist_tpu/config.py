@@ -162,6 +162,9 @@ class GenerateConfig:
     decode_style: str = "beam_search"   # 'beam_search' | 'greedy'
     gen_batch_size: int = 32            # TPU addition: batched generation
                                         # (reference runs batch=1, generate.py:112)
+    cache_dtype: str = "float32"        # decode self-attn KV cache storage;
+                                        # 'bfloat16' halves cache traffic
+                                        # (scores still accumulate f32)
 
 
 # ---------------------------------------------------------------------------

@@ -65,7 +65,9 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
     # K/V, masks and pointer sources are read from HBM once per batch
     # element per step instead of K times (the round-≤2 tiled scheme).
     ctxs = [precompute_decode_ctx(p, cfg, batch) for p in params_list]
-    caches = [init_cache(cfg, B * K, maxlen + 1) for _ in params_list]
+    cache_dt = jnp.bfloat16 if gcfg.cache_dtype == "bfloat16" else jnp.float32
+    caches = [init_cache(cfg, B * K, maxlen + 1, dtype=cache_dt)
+              for _ in params_list]
 
     tokens0 = jnp.full((B, K, maxlen + 1), PAD, jnp.int32).at[:, :, 0].set(SOS)
     scores0 = jnp.full((B, K), NEG, jnp.float32).at[:, 0].set(0.0)

@@ -71,10 +71,13 @@ def main():
             x[:, -1] = 1
             return x
 
+        # feature grids are generated ON DEVICE: at B=512 the f32 grid is
+        # ~1 GiB, which would take many minutes through this harness's
+        # ~0.1 GB/s tunnel; timing does not depend on feature content
+        fts = jax.jit(lambda k: jax.random.normal(
+            k, (B, T, S, Dv), jnp.float32))(jax.random.PRNGKey(B))
         b = Batch(query=toks(Lq), his=toks(Lh), trg=toks(Lt), trg_y=toks(Lt),
-                  cap=toks(Lc),
-                  fts=rng.standard_normal((B, T, S, Dv)).astype(np.float32),
-                  audio_fts=None)
+                  cap=toks(Lc), fts=fts, audio_fts=None)
         return jax.tree_util.tree_map(
             lambda x: None if x is None else jax.device_put(x), b,
             is_leaf=lambda x: x is None)

@@ -98,6 +98,24 @@ def test_beam_matches_host_reference(rng, dec_eos):
                                        atol=2e-3)
 
 
+def test_bf16_cache_close_to_f32(rng):
+    """cache_dtype='bfloat16' stores the decode KV cache in bf16 (half the
+    regroup/attention traffic); scores still accumulate f32.  On a tiny
+    model the hypotheses must match f32 and scores stay close."""
+    cfg = tiny_cfg()
+    batch = tiny_batch(rng)
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    g32 = GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=3)
+    gbf = GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=3,
+                         cache_dtype="bfloat16")
+    r32 = beam_search(params, cfg, batch, g32)
+    rbf = beam_search(params, cfg, batch, gbf)
+    np.testing.assert_array_equal(np.asarray(r32.tokens),
+                                  np.asarray(rbf.tokens))
+    np.testing.assert_allclose(np.asarray(r32.scores),
+                               np.asarray(rbf.scores), rtol=0.05, atol=0.05)
+
+
 def test_greedy_decode_runs(rng):
     cfg = tiny_cfg()
     batch = tiny_batch(rng)

@@ -108,3 +108,45 @@ def test_incremental_decode_matches_full_forward(kw, rng):
     step_logps = np.stack(step_logps, axis=1)  # (B, Lt, V)
     np.testing.assert_allclose(step_logps, np.asarray(full_logp),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("kw", [{}, {"ptr_gen": False},
+                                {"ptr_ft": "query+cap"},
+                                {"nb_aenc_blocks": 2, "ft_sizes": (24, 12)}])
+def test_decode_step_beam_fold_equivalence(kw, rng):
+    """decode_step(beam=K) folds K hypothesis rows per batch element into
+    the cross-attention query axis against a SHARED context.  Feeding K
+    DISTINCT tokens per batch element must produce exactly what K separate
+    beam=1 contexts would — the folding is a layout change, not a math
+    change (the beam-search parity test covers this e2e; this isolates the
+    fold across generator/fusion variants)."""
+    cfg = tiny_cfg(**kw)
+    B, K, Lmax = 2, 3, 4
+    batch = tiny_batch(rng, B=B, with_fts=cfg.nb_venc_blocks > 0,
+                       with_audio=cfg.nb_aenc_blocks > 0)
+    params = init_model(jax.random.PRNGKey(2), cfg)
+    ctx = precompute_decode_ctx(params, cfg, batch)
+
+    toks = rng.integers(4, 50, size=(2, B, K)).astype(np.int32)  # 2 steps
+    # folded: B·K rows against the B-row ctx
+    cache = init_cache(cfg, B * K, Lmax)
+    folded = []
+    for pos in range(2):
+        logp, cache = decode_step(params, cfg, ctx, cache,
+                                  jnp.asarray(toks[pos].reshape(B * K)),
+                                  pos, beam=K)
+        folded.append(np.asarray(logp).reshape(B, K, -1))
+
+    # reference: each (b, k) hypothesis decoded alone (beam=1, batch of 1)
+    for b in range(B):
+        one = Batch(*[None if x is None else x[b:b + 1] for x in batch])
+        ctx1 = precompute_decode_ctx(params, cfg, one)
+        for k in range(K):
+            cache1 = init_cache(cfg, 1, Lmax)
+            for pos in range(2):
+                lp1, cache1 = decode_step(
+                    params, cfg, ctx1, cache1,
+                    jnp.asarray(toks[pos, b, k:k + 1]), pos)
+                np.testing.assert_allclose(folded[pos][b, k],
+                                           np.asarray(lp1[0]),
+                                           rtol=2e-4, atol=2e-5)
