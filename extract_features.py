@@ -23,10 +23,12 @@ import argparse
 import glob
 import json
 import os
+import queue
 import shutil
 import subprocess
 import sys
 import tempfile
+import threading
 
 import numpy as np
 
@@ -66,6 +68,101 @@ def load_frames(path: str) -> np.ndarray:
         return decode_video_ffmpeg(path, tmp)
 
 
+def _save_video_output(args, mode, vid, feats, windows, i, total):
+    """Write one video's features (.npy) or scores (.json) — shared by the
+    per-video and packed paths."""
+    if mode == "score":
+        top = np.argsort(-feats, axis=-1)[:, :5]
+        out_json = os.path.join(args.output, vid + ".json")
+        with open(out_json, "w") as f:
+            json.dump({"video": vid, "clips": [
+                {"top5": [int(c) for c in row],
+                 "scores": [float(feats[k, c]) for c in row],
+                 "segment": [windows[k][0] + 1, max(windows[k]) + 1]}
+                for k, row in enumerate(top)]}, f, indent=1)
+        print(f"[{i + 1}/{total}] {vid}: scored {feats.shape[0]} clips")
+    else:
+        np.save(os.path.join(args.output, vid + ".npy"), feats)
+        print(f"[{i + 1}/{total}] {vid}: {feats.shape}")
+
+
+def run_packed(entries, args, params, apply_fn, mode):
+    """Cross-video clip packing: device batches are always exactly
+    `--batch_size` clips, drawn across video boundaries, so short videos no
+    longer pad out whole batches (the per-video path pads the tail chunk of
+    EVERY video).  A producer thread decodes/preprocesses the next videos
+    while the device computes — decode and compute overlap, the reference's
+    DataLoader(num_workers) role (classify.py:21-22).  Outputs are
+    bit-identical to the per-video path (same clips, same network)."""
+    from bist_tpu.models.resnext3d import make_clip_windows, preprocess_frames
+
+    total = len(entries)
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def producer():
+        for i, path in enumerate(entries):
+            vid = os.path.splitext(os.path.basename(path))[0]
+            suffix = ".json" if mode == "score" else ".npy"
+            if os.path.exists(os.path.join(args.output, vid + suffix)):
+                print(f"[{i + 1}/{total}] {vid}: exists, skip")
+                continue
+            try:
+                frames = load_frames(path)
+                proc = preprocess_frames(frames)
+                windows = make_clip_windows(len(proc), args.sample_duration,
+                                            args.stride)
+                if not windows:
+                    raise ValueError("no frames")
+                clips = np.stack([proc[w] for w in windows])
+            except Exception as e:   # per-video resilience (reference main.py)
+                print(f"[{i + 1}/{total}] {vid}: FAILED ({e})")
+                continue
+            q.put((i, vid, clips, windows))
+        q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    B = args.batch_size
+    buf_rows = []          # clip arrays, in arrival order
+    buf_owner = []         # parallel: index into `open_videos`
+    open_videos = []       # [i, vid, windows, n_clips, outputs:list]
+
+    def flush(final=False):
+        nonlocal buf_rows, buf_owner
+        while len(buf_rows) >= B or (final and buf_rows):
+            take = min(B, len(buf_rows))
+            chunk = np.stack(buf_rows[:take])
+            if take < B:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((B - take,) + chunk.shape[1:],
+                                     chunk.dtype)])
+            out = np.asarray(apply_fn(params, chunk))[:take]
+            for owner, row in zip(buf_owner[:take], out):
+                open_videos[owner][4].append(row)
+            buf_rows = buf_rows[take:]
+            buf_owner = buf_owner[take:]
+            # save any videos whose clips are all back (arrival order)
+            for idx, v in enumerate(open_videos):
+                if v is not None and len(v[4]) == v[3]:
+                    i, vid, windows, _, outs = v
+                    _save_video_output(args, mode, vid, np.stack(outs),
+                                       windows, i, total)
+                    open_videos[idx] = None
+
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        i, vid, clips, windows = item
+        open_videos.append([i, vid, windows, len(clips), []])
+        owner = len(open_videos) - 1
+        for c in clips:
+            buf_rows.append(c)
+            buf_owner.append(owner)
+        flush()
+    flush(final=True)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--video_root", required=True,
@@ -79,7 +176,14 @@ def main(argv=None):
     p.add_argument("--temporal_only", type=int, default=0)
     p.add_argument("--sample_duration", type=int, default=16)
     p.add_argument("--stride", type=int, default=4)
-    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=128,
+                   help="clips per device batch; 128 measured optimal on v5e bf16 (BENCH.md round 3; padding waste is gone under --pack)")
+    p.add_argument("--pack", type=int, default=1,
+                   help="pack clips ACROSS videos into full device batches "
+                        "(short videos no longer pad out whole batches) and "
+                        "overlap host decode with device compute via a "
+                        "producer thread; 0 restores per-video batching. "
+                        "Outputs identical either way.")
     p.add_argument("--start_idx", type=int, default=0)
     p.add_argument("--end_idx", type=int, default=-1)
     p.add_argument("--model_name", default="resnext",
@@ -166,10 +270,14 @@ def main(argv=None):
     entries = entries[args.start_idx:end]
     os.makedirs(args.output, exist_ok=True)
 
+    if args.pack:
+        run_packed(entries, args, params, apply_fn, mode)
+        return
+
     for i, path in enumerate(entries):
         vid = os.path.splitext(os.path.basename(path))[0]
-        out_path = os.path.join(args.output, vid + ".npy")
-        if os.path.exists(out_path):
+        suffix = ".json" if mode == "score" else ".npy"
+        if os.path.exists(os.path.join(args.output, vid + suffix)):
             print(f"[{i + 1}/{len(entries)}] {vid}: exists, skip")
             continue
         try:
@@ -177,30 +285,15 @@ def main(argv=None):
             feats = extract_video_features(
                 params, frames, stride=args.stride,
                 batch_size=args.batch_size, mode=mode, apply_fn=apply_fn)
-            if mode == "score":
-                # classification output (reference --mode score): per-clip
-                # top-5 Kinetics class ids + scores as json; `segment` is
-                # the clip's 1-based [first, last] frame range (the contract
-                # generate_result_video.py consumes, reference
-                # generate_result_video.py:62-63)
-                from bist_tpu.models.resnext3d import make_clip_windows
+            # `segment` in score JSON: the clip's 1-based [first, last]
+            # frame range (the generate_result_video.py contract, reference
+            # generate_result_video.py:62-63)
+            from bist_tpu.models.resnext3d import make_clip_windows
 
-                windows = make_clip_windows(len(frames),
-                                            args.sample_duration, args.stride)
-                top = np.argsort(-feats, axis=-1)[:, :5]
-                out_json = os.path.join(args.output, vid + ".json")
-                with open(out_json, "w") as f:
-                    json.dump({"video": vid, "clips": [
-                        {"top5": [int(c) for c in row],
-                         "scores": [float(feats[k, c]) for c in row],
-                         "segment": [windows[k][0] + 1,
-                                     max(windows[k]) + 1]}
-                        for k, row in enumerate(top)]}, f, indent=1)
-                print(f"[{i + 1}/{len(entries)}] {vid}: scored "
-                      f"{feats.shape[0]} clips")
-                continue
-            np.save(out_path, feats)
-            print(f"[{i + 1}/{len(entries)}] {vid}: {feats.shape}")
+            windows = make_clip_windows(len(frames), args.sample_duration,
+                                        args.stride)
+            _save_video_output(args, mode, vid, feats, windows, i,
+                               len(entries))
         except Exception as e:  # match the reference's per-video resilience
             print(f"[{i + 1}/{len(entries)}] {vid}: FAILED ({e})")
 

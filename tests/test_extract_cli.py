@@ -1,0 +1,65 @@
+"""extract_features.py CLI: packed (cross-video clip batching + decode
+thread) vs per-video batching must produce identical .npy features and
+identical score JSONs; skip-existing respects the per-mode suffix."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import extract_features
+
+
+def _make_videos(root, rng, specs):
+    """specs: {vid: n_frames} → .npy frame stacks (no ffmpeg needed)."""
+    os.makedirs(root, exist_ok=True)
+    for vid, n in specs.items():
+        frames = rng.integers(0, 255, size=(n, 64, 80, 3)).astype(np.uint8)
+        np.save(os.path.join(root, vid + ".npy"), frames)
+
+
+@pytest.mark.slow
+def test_packed_matches_pervideo(tmp_path, rng):
+    vroot = tmp_path / "videos"
+    # clip counts 1 / 2 / 5 at stride 8: exercises batches spanning videos
+    _make_videos(str(vroot), rng, {"a": 8, "b": 12, "c": 40})
+    base = ["--video_root", str(vroot), "--stride", "8", "--batch_size", "4",
+            "--model_name", "resnet", "--model_depth", "10"]
+
+    out_pv = tmp_path / "per_video"
+    extract_features.main(base + ["--output", str(out_pv), "--pack", "0"])
+    out_pk = tmp_path / "packed"
+    extract_features.main(base + ["--output", str(out_pk), "--pack", "1"])
+
+    for vid in ("a", "b", "c"):
+        pv = np.load(out_pv / f"{vid}.npy")
+        pk = np.load(out_pk / f"{vid}.npy")
+        np.testing.assert_array_equal(pv, pk)
+        assert pv.shape[1] == 16   # S spatial grid positions
+
+
+@pytest.mark.slow
+def test_packed_score_mode_and_skip(tmp_path, rng):
+    vroot = tmp_path / "videos"
+    _make_videos(str(vroot), rng, {"a": 8, "b": 12})
+    out = tmp_path / "scores"
+    args = ["--video_root", str(vroot), "--output", str(out), "--stride",
+            "8", "--batch_size", "4", "--mode", "score", "--pack", "1",
+            "--model_name", "resnet", "--model_depth", "10"]
+    extract_features.main(args)
+    for vid in ("a", "b"):
+        with open(out / f"{vid}.json") as f:
+            blob = json.load(f)
+        assert blob["video"] == vid
+        for clip in blob["clips"]:
+            assert len(clip["top5"]) == 5 and len(clip["segment"]) == 2
+    # second run skips via the .json suffix (regression: the per-video loop
+    # used to check .npy in score mode and re-scored every time)
+    mt = {v: os.path.getmtime(out / f"{v}.json") for v in ("a", "b")}
+    extract_features.main(args)
+    assert all(os.path.getmtime(out / f"{v}.json") == mt[v]
+               for v in ("a", "b"))
