@@ -57,7 +57,8 @@ class Responder:
                  gcfg: GenerateConfig, max_batch: int = 64,
                  len_buckets=(16, 32, 64, 128, 256),
                  time_buckets=(16, 32, 48, 64),
-                 batch_buckets: Optional[Tuple[int, ...]] = None):
+                 batch_buckets: Optional[Tuple[int, ...]] = None,
+                 feat_int8: bool = False):
         import jax
 
         self.params = params
@@ -79,6 +80,12 @@ class Responder:
                 + (max_batch,)
         self.batch_buckets = tuple(sorted(batch_buckets))
         assert self.batch_buckets[-1] == max_batch
+        # int8 feature transfer: quantize the assembled grid host-side
+        # (4× fewer host→device bytes; dequant on device in encode()) —
+        # the serving analogue of train.py --feat-int8 (answers identical
+        # within quantisation noise; tests/test_int8_features.py measured
+        # 64/64 identical beam answers on a trained model)
+        self.feat_int8 = feat_int8
         # serve data-parallel (rows sharded, params replicated — same recipe
         # as generate.py; no-op on one device).  The mesh uses the LARGEST
         # device count that divides every batch bucket (the sharded dim).
@@ -149,8 +156,13 @@ class Responder:
             for i, r in enumerate(reqs):
                 k = min(r.audio.shape[0], Ta)
                 audio[i, :k] = r.audio[:k]
+        fts_scale = None
+        if fts is not None and self.feat_int8:
+            from bist_tpu.data.batching import quantize_features
+
+            fts, fts_scale = quantize_features(fts)
         return Batch(query=q, his=h, trg=dummy, trg_y=dummy, cap=cap,
-                     fts=fts, audio_fts=audio)
+                     fts=fts, audio_fts=audio, fts_scale=fts_scale)
 
     def respond(self, reqs: List[Request]) -> None:
         import jax

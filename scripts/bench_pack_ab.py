@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--what", default="both",
                     choices=["train", "decode", "prng", "adam", "presplit",
-                             "both"])
+                             "cachedtype", "both"])
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
@@ -105,8 +105,9 @@ def main():
 
     gcfg = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5)
 
-    def build_decode_chain(pack: bool):
+    def build_decode_chain(pack: bool, gc: "GenerateConfig" = None):
         layers.PACK_PROJECTIONS = pack
+        gc = gcfg if gc is None else gc
 
         @partial(jax.jit, static_argnames="n")
         def chain(params, batch, n):
@@ -115,7 +116,7 @@ def main():
                 # identical beam programs into one (measured: it does) —
                 # bist_tpu.utils.benchtime docstring
                 b2 = batch._replace(query=batch.query + unprovable_zero(c))
-                r = beam_search(params, cfg, b2, gcfg)
+                r = beam_search(params, cfg, b2, gc)
                 return c + jnp.sum(r.scores), None
 
             out, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
@@ -124,6 +125,24 @@ def main():
         for n in (2, 6):
             float(chain(params, batch, n=n))
         return chain
+
+    if args.what == "cachedtype":
+        # decode self-attn KV cache storage dtype A/B (halved cache +
+        # regroup traffic vs f32; scores accumulate f32 either way)
+        dc_bf = build_decode_chain(False, gc=GenerateConfig(
+            maxlen=12, beam=5, penalty=1.0, nbest=5,
+            cache_dtype="bfloat16"))
+        dc_f32 = build_decode_chain(False)
+        a_1, b_1 = interleave(lambda: float(dc_bf(params, batch, n=2)),
+                              lambda: float(dc_f32(params, batch, n=2)),
+                              args.reps)
+        a_2, b_2 = interleave(lambda: float(dc_bf(params, batch, n=6)),
+                              lambda: float(dc_f32(params, batch, n=6)),
+                              args.reps)
+        bf = max(a_2 - a_1, 0.0) / 4 * 1e3
+        f32 = max(b_2 - b_1, 0.0) / 4 * 1e3
+        print(f"beam batch  bf16-cache: {bf:.2f} ms  f32-cache: {f32:.2f} ms"
+              f"  (bf16 speedup {f32 / max(bf, 1e-9):.3f}x; batch {B})")
 
     def interleave(fa, fb, reps):
         a, b = [], []

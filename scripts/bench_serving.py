@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
     ap.add_argument("--t-clips", type=int, default=16)
+    ap.add_argument("--feat-int8", type=int, default=0)
     ap.add_argument("--dv", type=int, default=2048)
     args = ap.parse_args()
     if args.device == "cpu":
@@ -52,9 +53,11 @@ def main():
     params = init_model(jax.random.PRNGKey(0), cfg)
     gcfg = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=1)
     responder = Responder(params, cfg, vocab, gcfg, max_batch=args.max_batch,
-                          time_buckets=(args.t_clips,))
-    print("warmup compile...", file=sys.stderr)
-    responder.warmup(feature_shape=(16, args.dv), t_clips=args.t_clips)
+                          time_buckets=(args.t_clips,),
+                          feat_int8=bool(args.feat_int8))
+    print("warmup compile (all batch buckets)...", file=sys.stderr)
+    responder.warmup(feature_shape=(16, args.dv), t_clips=args.t_clips,
+                     all_batch_buckets=True)
     server = DynamicBatcher(responder, max_batch=args.max_batch,
                             max_wait_ms=args.max_wait_ms)
     server.start()

@@ -32,6 +32,10 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--max-wait-ms", type=float, default=10.0)
+    p.add_argument("--feat-int8", type=int, default=0,
+                   help="quantize assembled feature grids to int8 host-side "
+                        "(4x fewer host->device bytes, dequant on device) — "
+                        "the serving analogue of train.py --feat-int8")
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--maxlen", type=int, default=12)
     p.add_argument("--penalty", type=float, default=1.0)
@@ -65,9 +69,10 @@ def main(argv=None):
 
     gcfg = GenerateConfig(maxlen=args.maxlen, beam=args.beam,
                           penalty=args.penalty, nbest=1)
-    responder = Responder(params, cfg, vocab, gcfg, max_batch=args.max_batch)
+    responder = Responder(params, cfg, vocab, gcfg, max_batch=args.max_batch,
+                          feat_int8=bool(args.feat_int8))
     logging.info("warmup compile...")
-    responder.warmup()
+    responder.warmup(all_batch_buckets=True)
     server_b = DynamicBatcher(responder, max_batch=args.max_batch,
                               max_wait_ms=args.max_wait_ms)
     server_b.start()
@@ -113,6 +118,12 @@ def make_http_server(host, port, server_b, *, requires_features=False):
                 if "features_b64" in req:
                     raw = base64.b64decode(req["features_b64"])
                     features = np.load(io.BytesIO(raw), allow_pickle=False)
+                    if features.dtype == np.int8:
+                        # client-side int8 upload (4x fewer NIC bytes):
+                        # requires the per-position scale alongside
+                        sraw = base64.b64decode(req["features_scale_b64"])
+                        scale = np.load(io.BytesIO(sraw), allow_pickle=False)
+                        features = features.astype(np.float32) * scale
                 elif "features" in req and req["features"] is not None:
                     features = np.asarray(req["features"], np.float32)
                 if features is None and requires_features:

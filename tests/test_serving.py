@@ -114,6 +114,20 @@ def test_http_round_trip(served, rng):
             "features_b64": base64.b64encode(buf.getvalue()).decode()})
         assert code == 200 and isinstance(resp["answer"], str)
 
+        # client-side int8 upload: int8 grid + per-position scale (4x fewer
+        # NIC bytes), dequantised host-side
+        from bist_tpu.data.batching import quantize_features
+
+        q8, scale = quantize_features(fts[None])
+        b1, b2 = io.BytesIO(), io.BytesIO()
+        np.save(b1, q8[0])
+        np.save(b2, scale[0])
+        code, resp = post("/respond", {
+            "question": "what is he doing",
+            "features_b64": base64.b64encode(b1.getvalue()).decode(),
+            "features_scale_b64": base64.b64encode(b2.getvalue()).decode()})
+        assert code == 200 and isinstance(resp["answer"], str)
+
         with pytest.raises(urllib.error.HTTPError) as ei:
             post("/respond", {"question": "no features"})
         assert ei.value.code == 400
@@ -123,6 +137,33 @@ def test_http_round_trip(served, rng):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_feat_int8_responder(rng):
+    """Server-side int8 feature transfer: a feat_int8 Responder answers and
+    its batches carry int8 grids + scales (Batch.fts_scale)."""
+    vocab = dict(SPECIALS)
+    for w in "a man is walking what doing".split():
+        vocab[w] = len(vocab)
+    cfg = ModelConfig(vocab_size=len(vocab), nb_blocks=1, nb_venc_blocks=1,
+                      nb_cenc_blocks=1, d_model=16, att_h=2, dropout=0.0,
+                      include_caption="summary", separate_caption=True,
+                      ft_sizes=(8,))
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    gcfg = GenerateConfig(maxlen=3, beam=2, penalty=1.0, nbest=1)
+    r = Responder(params, cfg, vocab, gcfg, max_batch=4,
+                  len_buckets=(8,), time_buckets=(8,), feat_int8=True)
+    from bist_tpu.serving import Request
+    from bist_tpu.vocab import PAD as _PAD
+
+    req = Request(question=r.tokenize("what is he doing"),
+                  history=r.tokenize("a man is walking"),
+                  caption=r.tokenize("a man"),
+                  features=rng.standard_normal((5, 4, 8)).astype(np.float32))
+    batch = r.make_batch([req])
+    assert batch.fts.dtype == np.int8 and batch.fts_scale is not None
+    r.respond([req])
+    assert isinstance(req._answer, str)
 
 
 def test_step_timer():
