@@ -78,8 +78,7 @@ def pointer_k(p_attn: Params, encoded_text: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pointer_attn(p_attn: Params, logits: jnp.ndarray, encoded_text: jnp.ndarray,
-                  mask: jnp.ndarray,
-                  k: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  mask: jnp.ndarray) -> jnp.ndarray:
     """1-head pointer attention probabilities (B, Lt, Ltext).
 
     The reference runs a full MultiHeadedAttention(h=1, dropout=0) and reads
@@ -88,8 +87,7 @@ def _pointer_attn(p_attn: Params, logits: jnp.ndarray, encoded_text: jnp.ndarray
     (their params exist for checkpoint parity but are mathematically inert
     in the reference too — .attn is taken before they apply)."""
     Q = split_heads(linear(p_attn["wq"], logits), 1)
-    if k is None:
-        k = pointer_k(p_attn, encoded_text)
+    k = pointer_k(p_attn, encoded_text)
     if mask is not None:
         mask = mask[..., None, :, :]
     attn = attention_weights(Q, k, mask, 0.0, None)
@@ -149,13 +147,12 @@ def apply_generator_step(p: Params, cfg: ModelConfig, lut: jnp.ndarray,
 
 def apply_generator(p: Params, cfg: ModelConfig, lut: jnp.ndarray,
                     ft: Dict[str, jnp.ndarray], tokens: Dict[str, jnp.ndarray],
-                    ft_key: str = "decoded_text",
-                    ptr_k: Optional[list] = None) -> jnp.ndarray:
-    """Log-probabilities over the vocabulary, (B, Lt, V).
+                    ft_key: str = "decoded_text") -> jnp.ndarray:
+    """Log-probabilities over the vocabulary, (B, Lt, V) — the TRAINING
+    path (incremental decoding uses apply_generator_step).
 
     tokens must hold query/his/cap ids and their (B,1,L) masks (cap entries
-    may be absent when the model has no separate caption).  ptr_k: optional
-    per-source pre-projected pointer keys (incremental decoding)."""
+    may be absent when the model has no separate caption)."""
     x = ft[ft_key]
     if not cfg.ptr_gen:
         return vocab_log_softmax(lut, x)
@@ -171,8 +168,7 @@ def apply_generator(p: Params, cfg: ModelConfig, lut: jnp.ndarray,
         text, enc_text, mask = _source(name, ft, tokens)
         if cfg.mask_unk:
             mask = mask & (text != 0)[:, None, :]   # ban <unk> sources (generator.py:59-60)
-        attn = _pointer_attn(p["pointer_attn"][idx], x, enc_text, mask,
-                             k=None if ptr_k is None else ptr_k[idx]) \
+        attn = _pointer_attn(p["pointer_attn"][idx], x, enc_text, mask) \
             .astype(jnp.float32)
         copy_dists.append(_copy_dist(attn, text, vocab))
         # context vector: attn-weighted sum of the (unprojected) encoded text

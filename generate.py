@@ -34,7 +34,14 @@ def build_parser():
     p.add_argument("--nbest", default=5, type=int)
     p.add_argument("--output", "-o", default="", type=str)
     p.add_argument("--verbose", "-v", default=0, type=int)
-    p.add_argument("--decode-style", default="greedy", type=str)
+    p.add_argument("--decode-style", default="greedy", type=str,
+                   help="beam_search | greedy | oracle | sample (all four "
+                        "reference styles live here, three dead there; "
+                        "'sample' is this framework's serving extension)")
+    p.add_argument("--temperature", default=1.0, type=float)
+    p.add_argument("--top-k", default=0, type=int)
+    p.add_argument("--top-p", default=0.0, type=float)
+    p.add_argument("--sample-seed", default=1, type=int)
     p.add_argument("--undisclosed-only", default=0, type=int)
     p.add_argument("--labeled-test", default=None, type=str)
     p.add_argument("--num-workers", default=0, type=int)
@@ -155,6 +162,12 @@ def main(argv=None):
     # oracle = teacher-forced argmax; needs labeled targets (reference's dead
     # oracle_decode path, made to work — see decode/beam.py:oracle_decode)
     oracle_jit = jax.jit(lambda p, b: oracle_decode(p, cfg, b))
+    from bist_tpu.decode.sample import sample_decode
+
+    sample_key = jax.random.PRNGKey(args.sample_seed)
+    sample_jit = jax.jit(lambda p, b: sample_decode(
+        p, cfg, b, gcfg.maxlen, sample_key, temperature=args.temperature,
+        top_k=args.top_k, top_p=args.top_p))
     if gcfg.decode_style == "oracle" and args.undisclosed_only:
         raise SystemExit("--decode-style oracle requires labeled targets; "
                          "run without --undisclosed-only")
@@ -201,8 +214,8 @@ def main(argv=None):
 
     pending = None
     for batch, meta in device_prefetch(iter(loader), prepare, size=2):
-        step_jit = {"beam_search": beam_jit,
-                    "oracle": oracle_jit}.get(gcfg.decode_style, greedy_jit)
+        step_jit = {"beam_search": beam_jit, "oracle": oracle_jit,
+                    "sample": sample_jit}.get(gcfg.decode_style, greedy_jit)
         fut = step_jit(params, batch)
         if pending is not None:
             drain(pending)

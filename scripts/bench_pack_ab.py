@@ -103,6 +103,13 @@ def main():
             float(chain(state, batch, warm_key, n=n))
         return chain
 
+    def interleave(fa, fb, reps):
+        a, b = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter(); fa(); a.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); fb(); b.append(time.perf_counter() - t0)
+        return statistics.median(a), statistics.median(b)
+
     gcfg = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5)
 
     def build_decode_chain(pack: bool, gc: "GenerateConfig" = None):
@@ -143,13 +150,6 @@ def main():
         f32 = max(b_2 - b_1, 0.0) / 4 * 1e3
         print(f"beam batch  bf16-cache: {bf:.2f} ms  f32-cache: {f32:.2f} ms"
               f"  (bf16 speedup {f32 / max(bf, 1e-9):.3f}x; batch {B})")
-
-    def interleave(fa, fb, reps):
-        a, b = [], []
-        for _ in range(reps):
-            t0 = time.perf_counter(); fa(); a.append(time.perf_counter() - t0)
-            t0 = time.perf_counter(); fb(); b.append(time.perf_counter() - t0)
-        return statistics.median(a), statistics.median(b)
 
     if args.what == "adam":
         # optimizer-update lowering A/B: per-leaf Adam (~6 elementwise ops x

@@ -1,0 +1,63 @@
+"""Sampling decoder: filter semantics (top-k / nucleus), greedy reduction,
+determinism per key."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bist_tpu.decode.sample import NEG, filter_logits, sample_decode
+from test_beam import tiny_batch, tiny_cfg
+from bist_tpu.models.model import init_model
+
+
+def test_filter_top_k():
+    logits = jnp.asarray([[0.0, 3.0, 1.0, 2.0, -1.0]])
+    out = np.asarray(filter_logits(logits, top_k=2))
+    assert (out[0] > NEG / 2).tolist() == [False, True, False, True, False]
+    # k larger than V keeps everything
+    out = np.asarray(filter_logits(logits, top_k=10))
+    assert (out > NEG / 2).all()
+
+
+def test_filter_top_p():
+    # probs ~ [0.643, 0.237, 0.087, 0.032] for logits [3, 2, 1, 0]
+    logits = jnp.log(jnp.asarray([[0.643, 0.237, 0.087, 0.032]]))
+    out = np.asarray(filter_logits(logits, top_p=0.5))
+    assert (out[0] > NEG / 2).tolist() == [True, False, False, False]
+    out = np.asarray(filter_logits(logits, top_p=0.7))
+    assert (out[0] > NEG / 2).tolist() == [True, True, False, False]
+    # p → 0 always keeps the argmax
+    out = np.asarray(filter_logits(logits, top_p=1e-9))
+    assert (out[0] > NEG / 2).tolist() == [True, False, False, False]
+    # order-independence: same nucleus when logits are permuted
+    perm = jnp.asarray([[0.087, 0.643, 0.032, 0.237]])
+    out = np.asarray(filter_logits(jnp.log(perm), top_p=0.7))
+    assert (out[0] > NEG / 2).tolist() == [False, True, False, True]
+
+
+def test_top_k1_is_greedy_and_key_independent(rng):
+    cfg = tiny_cfg()
+    batch = tiny_batch(rng)
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    a = np.asarray(sample_decode(params, cfg, batch, 5, jax.random.PRNGKey(0),
+                                 top_k=1))
+    b = np.asarray(sample_decode(params, cfg, batch, 5, jax.random.PRNGKey(9),
+                                 top_k=1))
+    np.testing.assert_array_equal(a, b)       # argmax: key cannot matter
+    assert a.shape == (2, 5) and (a >= 0).all()
+
+
+def test_sampling_deterministic_per_key(rng):
+    cfg = tiny_cfg()
+    batch = tiny_batch(rng)
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    a1 = np.asarray(sample_decode(params, cfg, batch, 6,
+                                  jax.random.PRNGKey(1), temperature=1.5))
+    a2 = np.asarray(sample_decode(params, cfg, batch, 6,
+                                  jax.random.PRNGKey(1), temperature=1.5))
+    np.testing.assert_array_equal(a1, a2)
+    # a hot temperature with a different key gives a different trajectory
+    # (random init → near-uniform logits; collision chance ~ V^-12)
+    b = np.asarray(sample_decode(params, cfg, batch, 6,
+                                 jax.random.PRNGKey(2), temperature=1.5))
+    assert not np.array_equal(a1, b)
