@@ -70,7 +70,11 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", "64"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "16"))
-    gcfg = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5)
+    # bf16 KV cache = the serving default (1.68x measured, BENCH.md round 3;
+    # BENCH_CACHE_DTYPE=float32 restores the bit-parity cache)
+    gcfg = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
+                          cache_dtype=os.environ.get("BENCH_CACHE_DTYPE",
+                                                     "bfloat16"))
 
     # random bf16 feature grids with realistic clip counts, reused across
     # turns (feature *content* does not affect timing); each turn is assigned
@@ -206,7 +210,7 @@ def main():
         "metric": "avsd_generation_throughput",
         "value": round(rps, 2),
         "unit": ("responses/sec/chip (beam=5, maxlen=12, d_model=128, "
-                 "feature grids staged in HBM"
+                 f"{gcfg.cache_dtype} KV cache, feature grids staged in HBM"
                  + (", chained dispatch — ~5% above per-call dispatch, "
                     "the basis of the 2.0/s reference estimate)"
                     if chained else ")")),

@@ -42,6 +42,13 @@ def build_parser():
     p.add_argument("--top-k", default=0, type=int)
     p.add_argument("--top-p", default=0.0, type=float)
     p.add_argument("--sample-seed", default=1, type=int)
+    p.add_argument("--cache-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="decode KV-cache storage; bfloat16 measured ~2x "
+                        "faster beam batches on the v5e (BENCH.md round 3) "
+                        "at ~98%% token agreement on a random model (ties "
+                        "flip; trained models are more robust) — f32 stays "
+                        "the parity default")
     p.add_argument("--undisclosed-only", default=0, type=int)
     p.add_argument("--labeled-test", default=None, type=str)
     p.add_argument("--num-workers", default=0, type=int)
@@ -151,7 +158,8 @@ def main(argv=None):
                           dec_eos=bool(args.dec_eos),
                           undisclosed_only=bool(args.undisclosed_only),
                           decode_style=args.decode_style,
-                          gen_batch_size=args.gen_batch_size)
+                          gen_batch_size=args.gen_batch_size,
+                          cache_dtype=args.cache_dtype)
 
     logging.info("----------------------- generate --------------------------")
     start_time = time.time()

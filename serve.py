@@ -37,6 +37,12 @@ def main(argv=None):
                         "(4x fewer host->device bytes, dequant on device) — "
                         "the serving analogue of train.py --feat-int8")
     p.add_argument("--beam", type=int, default=5)
+    p.add_argument("--cache-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="decode KV-cache storage; bf16 measured 1.68x beam "
+                        "throughput (BENCH.md round 3) and is the serving "
+                        "default; float32 restores bit-parity with "
+                        "generate.py")
     p.add_argument("--maxlen", type=int, default=12)
     p.add_argument("--penalty", type=float, default=1.0)
     p.add_argument("--device", default="")
@@ -68,7 +74,8 @@ def main(argv=None):
     params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
 
     gcfg = GenerateConfig(maxlen=args.maxlen, beam=args.beam,
-                          penalty=args.penalty, nbest=1)
+                          penalty=args.penalty, nbest=1,
+                          cache_dtype=args.cache_dtype)
     responder = Responder(params, cfg, vocab, gcfg, max_batch=args.max_batch,
                           feat_int8=bool(args.feat_int8))
     logging.info("warmup compile...")
