@@ -64,8 +64,13 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
     # batch element into the cross-attention query axis, so the per-layer
     # K/V, masks and pointer sources are read from HBM once per batch
     # element per step instead of K times (the round-≤2 tiled scheme).
-    ctxs = [precompute_decode_ctx(p, cfg, batch) for p in params_list]
+    # cache_dtype governs ALL decode-memory storage: the growing self-attn
+    # KV cache AND the precomputed cross-attention/pointer context (scores
+    # still accumulate f32) — measured 1.68× (cache alone) on the v5e,
+    # answers identical on trained models (BENCH.md round 3)
     cache_dt = jnp.bfloat16 if gcfg.cache_dtype == "bfloat16" else jnp.float32
+    ctxs = [precompute_decode_ctx(p, cfg, batch, dtype=cache_dt)
+            for p in params_list]
     caches = [init_cache(cfg, B * K, maxlen + 1, dtype=cache_dt)
               for _ in params_list]
 

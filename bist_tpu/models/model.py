@@ -246,9 +246,15 @@ def _cross_kv(p_attn: Params, h: int, memory: jnp.ndarray):
 
 
 def precompute_decode_ctx(params: Params, cfg: ModelConfig,
-                          batch: Batch) -> DecodeCtx:
+                          batch: Batch, dtype=jnp.float32) -> DecodeCtx:
     """Run encode + the full modality reasoning stack once; pre-project every
-    mm-layer cross-attention's K/V."""
+    mm-layer cross-attention's K/V.
+
+    `dtype` is the storage precision of the precomputed decode memory
+    (cross-attention K/V, pointer keys/encodings/one-hot) — bf16 halves the
+    dominant per-step HBM reads; attention scores still accumulate f32
+    (layers.attention_weights preferred_element_type).  Masks/token ids
+    stay integer."""
     masks = build_masks(cfg, batch)
     ft = encode(params, cfg, batch, None)
     dec = params["decoder"]
@@ -280,10 +286,15 @@ def precompute_decode_ctx(params: Params, cfg: ModelConfig,
             if cfg.mask_unk:
                 mask = mask & (text != 0)[:, None, :]
             srcs.append(PtrSource(
-                text=text, enc=enc, mask=mask,
-                k=pointer_k(params["gen"]["pointer_attn"][i], enc),
-                onehot=jax.nn.one_hot(text, cfg.vocab_size, dtype=jnp.float32)))
+                text=text, enc=enc.astype(dtype), mask=mask,
+                k=pointer_k(params["gen"]["pointer_attn"][i], enc)
+                .astype(dtype),
+                onehot=jax.nn.one_hot(text, cfg.vocab_size, dtype=dtype)))
         ptr_src = tuple(srcs)
+    if dtype != jnp.float32:
+        layer_kv = [
+            {name: (k.astype(dtype), v.astype(dtype))
+             for name, (k, v) in kv.items()} for kv in layer_kv]
     return DecodeCtx(layer_kv=tuple(layer_kv), masks=masks, ft=ctx_ft,
                      tokens=toks, ptr_src=ptr_src)
 
