@@ -149,12 +149,13 @@ def beam_search_jit(params, cfg: ModelConfig, batch: Batch,
 
 
 def greedy_decode(params, cfg: ModelConfig, batch: Batch,
-                  maxlen: int) -> jnp.ndarray:
+                  maxlen: int, cache_dtype: str = "float32") -> jnp.ndarray:
     """Argmax decoding; returns (B, maxlen) token ids (may contain <eos>;
     caller truncates).  Fixes the reference's dead greedy path."""
     B = batch.query.shape[0]
-    ctx = precompute_decode_ctx(params, cfg, batch)
-    cache = init_cache(cfg, B, maxlen + 1)
+    dt = jnp.bfloat16 if cache_dtype == "bfloat16" else jnp.float32
+    ctx = precompute_decode_ctx(params, cfg, batch, dtype=dt)
+    cache = init_cache(cfg, B, maxlen + 1, dtype=dt)
     tok0 = jnp.full((B,), SOS, jnp.int32)
 
     def step(carry, l):

@@ -55,12 +55,14 @@ def filter_logits(logits: jnp.ndarray, top_k: int = 0,
 
 def sample_decode(params, cfg: ModelConfig, batch: Batch, maxlen: int,
                   key: jax.Array, temperature: float = 1.0, top_k: int = 0,
-                  top_p: float = 0.0) -> jnp.ndarray:
+                  top_p: float = 0.0,
+                  cache_dtype: str = "float32") -> jnp.ndarray:
     """Sampled decoding; returns (B, maxlen) token ids (may contain <eos>;
     caller truncates, as with greedy_decode)."""
     B = batch.query.shape[0]
-    ctx = precompute_decode_ctx(params, cfg, batch)
-    cache = init_cache(cfg, B, maxlen + 1)
+    dt = jnp.bfloat16 if cache_dtype == "bfloat16" else jnp.float32
+    ctx = precompute_decode_ctx(params, cfg, batch, dtype=dt)
+    cache = init_cache(cfg, B, maxlen + 1, dtype=dt)
     tok0 = jnp.full((B,), SOS, jnp.int32)
     temp = max(float(temperature), 1e-4)
 

@@ -60,6 +60,7 @@ beam=5
 nbest=5
 model_epoch=best
 gen_batch_size=32
+cache_dtype=float32   # bfloat16 = the 1.68x serving cache (BENCH.md)
 
 echo Stage $stage Test Mode $test_mode Exp ID $expid
 
@@ -153,6 +154,7 @@ if [ $stage -eq 2 ]; then
           --undisclosed-only ${undisclosed_only} \
           --labeled-test "${labeled_test}" \
           --gen-batch-size ${gen_batch_size} \
+          --cache-dtype ${cache_dtype} \
           --device "$device"
     done
 fi

@@ -47,6 +47,22 @@ def test_top_k1_is_greedy_and_key_independent(rng):
     assert a.shape == (2, 5) and (a >= 0).all()
 
 
+def test_bf16_cache_matches_f32_tokens(rng):
+    """cache_dtype='bfloat16' (the serving default) must not change the
+    decoded tokens on a tiny model — greedy via top_k=1 and a hot sampled
+    trajectory both compare against their f32-cache counterparts."""
+    cfg = tiny_cfg()
+    batch = tiny_batch(rng)
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    key = jax.random.PRNGKey(7)
+    for kwargs in ({"top_k": 1}, {"temperature": 1.5}):
+        f32 = np.asarray(sample_decode(params, cfg, batch, 5, key,
+                                       cache_dtype="float32", **kwargs))
+        bf16 = np.asarray(sample_decode(params, cfg, batch, 5, key,
+                                        cache_dtype="bfloat16", **kwargs))
+        np.testing.assert_array_equal(f32, bf16)
+
+
 def test_sampling_deterministic_per_key(rng):
     cfg = tiny_cfg()
     batch = tiny_batch(rng)
