@@ -29,7 +29,9 @@ estimate of the reference's single-GPU generation throughput (batch-1 beam-5
 re-encode decoding at ~0.5 s/turn); BASELINE.json's target is ≥10× ⇒
 vs_baseline ≥ 10 means target met.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (+
+"value_per_call_lower_bound", a short per-call-dispatch probe on the dominant
+bucket, when chained mode is on — ADVICE r2 #4: both dispatch bases explicit).
 """
 
 import json
@@ -191,6 +193,19 @@ def main():
         for o in outs:
             float(o)             # drain
         dt = time.time() - t0
+        # Per-call probe (ADVICE r2 #4: make the comparison basis explicit).
+        # A short per-call-dispatch measurement on the most frequent T bucket
+        # — includes this harness's ~15 ms/call tunnel RTT, so it is a
+        # conservative lower bound on what a production host (µs dispatch)
+        # would see; the reference 2.0/s estimate is per-call on a local host.
+        t_main = max(sched_count, key=lambda t: sched_count[t])
+        np.asarray(beam_jit(params, staged[t_main]).scores)   # warm compile
+        k_probe = 8
+        t0 = time.time()
+        probe = [beam_jit(params, staged[t_main]) for _ in range(k_probe)]
+        for r in probe:
+            np.asarray(r.scores)
+        rps_per_call = k_probe * B / (time.time() - t0)
     else:
         # warm up one compile per distinct T bucket
         for t_pad, batch in staged.items():
@@ -204,9 +219,10 @@ def main():
         for r in results:
             np.asarray(r.scores)     # drain
         dt = time.time() - t0
+        rps_per_call = None
     rps = n_resp / dt
 
-    print(json.dumps({
+    line = {
         "metric": "avsd_generation_throughput",
         "value": round(rps, 2),
         "unit": ("responses/sec/chip (beam=5, maxlen=12, d_model=128, "
@@ -215,7 +231,12 @@ def main():
                     "the basis of the 2.0/s reference estimate)"
                     if chained else ")")),
         "vs_baseline": round(rps / REFERENCE_GPU_RESP_PER_SEC, 2),
-    }))
+    }
+    if rps_per_call is not None:
+        # lower bound: per-call dispatch through this harness's tunnel
+        # (~15 ms RTT/call that a production host would not pay)
+        line["value_per_call_lower_bound"] = round(rps_per_call, 2)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
