@@ -81,16 +81,17 @@ def test_forward_shapes(kw, rng):
     assert ft["decoded_text"].shape == (2, 6, 16)
 
 
-@pytest.mark.parametrize("kw", [{}, {"enc_st_combine": "sum"},
-                                {"dec_st_combine": "sum"},
-                                {"nb_venc_blocks": 0, "ft_sizes": ()},
-                                {"ptr_gen": False}])
+@pytest.mark.parametrize("kw", CFG_VARIANTS)
 def test_incremental_decode_matches_full_forward(kw, rng):
     """decode_step over positions must reproduce the training-path forward
-    (eval mode) on the same prefix."""
+    (eval mode) on the same prefix — across EVERY fusion/pointer/audio
+    variant, since the cached decode path re-implements the decoder
+    incrementally (any variant it mishandles would silently corrupt
+    generation for that configuration only)."""
     cfg = tiny_cfg(**kw)
     B, Lt = 2, 6
-    batch = tiny_batch(rng, B=B, Lt=Lt, with_fts=cfg.nb_venc_blocks > 0)
+    batch = tiny_batch(rng, B=B, Lt=Lt, with_fts=cfg.nb_venc_blocks > 0,
+                       with_audio=cfg.nb_aenc_blocks > 0)
     # use a fully valid target so causal positions match
     trg = rng.integers(4, 50, size=(B, Lt)).astype(np.int32)
     batch = batch._replace(trg=trg, trg_y=trg)
