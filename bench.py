@@ -74,9 +74,14 @@ def main():
     n_batches = int(os.environ.get("BENCH_BATCHES", "16"))
     # bf16 KV cache = the serving default (1.68x measured, BENCH.md round 3;
     # BENCH_CACHE_DTYPE=float32 restores the bit-parity cache)
+    # scan_unroll=6: beam-scan body replication, identical numerics, 1.13x
+    # measured at B=64 on the v5e (BENCH.md round 3; BENCH_UNROLL=1 restores
+    # the plain loop)
     gcfg = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
                           cache_dtype=os.environ.get("BENCH_CACHE_DTYPE",
-                                                     "bfloat16"))
+                                                     "bfloat16"),
+                          scan_unroll=int(os.environ.get("BENCH_UNROLL",
+                                                         "6")))
 
     # random bf16 feature grids with realistic clip counts, reused across
     # turns (feature *content* does not affect timing); each turn is assigned
@@ -226,7 +231,8 @@ def main():
         "metric": "avsd_generation_throughput",
         "value": round(rps, 2),
         "unit": ("responses/sec/chip (beam=5, maxlen=12, d_model=128, "
-                 f"{gcfg.cache_dtype} KV cache, feature grids staged in HBM"
+                 f"{gcfg.cache_dtype} KV cache, scan_unroll={gcfg.scan_unroll},"
+                 " feature grids staged in HBM"
                  + (", chained dispatch — ~5% above per-call dispatch, "
                     "the basis of the 2.0/s reference estimate)"
                     if chained else ")")),

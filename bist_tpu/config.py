@@ -165,6 +165,11 @@ class GenerateConfig:
     cache_dtype: str = "float32"        # decode self-attn KV cache storage;
                                         # 'bfloat16' halves cache traffic
                                         # (scores still accumulate f32)
+    scan_unroll: int = 1                # beam-scan loop-body replication:
+                                        # identical numerics, 1.13-1.2x step
+                                        # throughput at 6 on the v5e (BENCH.md
+                                        # round 3) for ~6x the program size;
+                                        # bench/serving default 6
 
 
 # ---------------------------------------------------------------------------

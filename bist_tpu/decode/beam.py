@@ -48,7 +48,7 @@ class BeamResult(NamedTuple):
 
 
 def beam_search(params, cfg: ModelConfig, batch: Batch,
-                gcfg: GenerateConfig) -> BeamResult:
+                gcfg: GenerateConfig, unroll: int | None = None) -> BeamResult:
     """Run beam search for every row of `batch` simultaneously.
 
     `params` may be a single params pytree or a LIST of pytrees (same cfg):
@@ -137,8 +137,13 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
 
     carry0 = (tokens0, scores0, tuple(caches), comp_tokens0, comp_scores0,
               comp_lens0)
+    # unroll: lax.scan loop-body replication (identical numerics; measured
+    # 1.13x at 6 on the v5e for ~6x program size — BENCH.md round 3,
+    # scripts/bench_pack_ab.py --what unroll).  Defaults to the config knob.
+    if unroll is None:
+        unroll = gcfg.scan_unroll
     (tokens, scores, _, comp_tokens, comp_scores, comp_lens), _ = \
-        jax.lax.scan(step, carry0, jnp.arange(maxlen))
+        jax.lax.scan(step, carry0, jnp.arange(maxlen), unroll=unroll)
     return BeamResult(tokens=comp_tokens, scores=comp_scores, lengths=comp_lens)
 
 

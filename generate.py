@@ -49,6 +49,11 @@ def build_parser():
                         "at ~98%% token agreement on a random model (ties "
                         "flip; trained models are more robust) — f32 stays "
                         "the parity default")
+    p.add_argument("--scan-unroll", default=1, type=int,
+                   help="beam-scan body replication (identical numerics); 6 "
+                        "measured 1.13x decode throughput on the v5e "
+                        "(BENCH.md round 3) at ~6x compile time — worthwhile "
+                        "for long runs, left at 1 for one-shot eval")
     p.add_argument("--undisclosed-only", default=0, type=int)
     p.add_argument("--labeled-test", default=None, type=str)
     p.add_argument("--num-workers", default=0, type=int)
@@ -159,7 +164,8 @@ def main(argv=None):
                           undisclosed_only=bool(args.undisclosed_only),
                           decode_style=args.decode_style,
                           gen_batch_size=args.gen_batch_size,
-                          cache_dtype=args.cache_dtype)
+                          cache_dtype=args.cache_dtype,
+                          scan_unroll=args.scan_unroll)
 
     logging.info("----------------------- generate --------------------------")
     start_time = time.time()

@@ -31,7 +31,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--what", default="both",
                     choices=["train", "decode", "prng", "adam", "presplit",
-                             "cachedtype", "both"])
+                             "cachedtype", "unroll", "both"])
+    ap.add_argument("--unroll", type=int, default=3,
+                    help="beam-scan unroll factor for --what unroll")
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
@@ -112,7 +114,8 @@ def main():
 
     gcfg = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5)
 
-    def build_decode_chain(pack: bool, gc: "GenerateConfig" = None):
+    def build_decode_chain(pack: bool, gc: "GenerateConfig" = None,
+                           unroll: int = 1):
         layers.PACK_PROJECTIONS = pack
         gc = gcfg if gc is None else gc
 
@@ -123,7 +126,7 @@ def main():
                 # identical beam programs into one (measured: it does) —
                 # bist_tpu.utils.benchtime docstring
                 b2 = batch._replace(query=batch.query + unprovable_zero(c))
-                r = beam_search(params, cfg, b2, gc)
+                r = beam_search(params, cfg, b2, gc, unroll=unroll)
                 return c + jnp.sum(r.scores), None
 
             out, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
@@ -150,6 +153,27 @@ def main():
         f32 = max(b_2 - b_1, 0.0) / 4 * 1e3
         print(f"beam batch  bf16-cache: {bf:.2f} ms  f32-cache: {f32:.2f} ms"
               f"  (bf16 speedup {f32 / max(bf, 1e-9):.3f}x; batch {B})")
+
+    if args.what == "unroll":
+        # beam-scan unroll A/B: replicate the decode-step loop body `unroll`x
+        # inside the scan (identical numerics; trades program size for loop
+        # overhead and cross-step scheduling freedom).  Uses the shipped bf16
+        # cache default.
+        gc_bf = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
+                               cache_dtype="bfloat16")
+        dc_un = build_decode_chain(False, gc=gc_bf, unroll=args.unroll)
+        dc_1 = build_decode_chain(False, gc=gc_bf, unroll=1)
+        a_1, b_1 = interleave(lambda: float(dc_un(params, batch, n=2)),
+                              lambda: float(dc_1(params, batch, n=2)),
+                              args.reps)
+        a_2, b_2 = interleave(lambda: float(dc_un(params, batch, n=6)),
+                              lambda: float(dc_1(params, batch, n=6)),
+                              args.reps)
+        un = max(a_2 - a_1, 0.0) / 4 * 1e3
+        base = max(b_2 - b_1, 0.0) / 4 * 1e3
+        print(f"beam batch  unroll={args.unroll}: {un:.2f} ms  unroll=1: "
+              f"{base:.2f} ms  (unroll speedup {base / max(un, 1e-9):.3f}x; "
+              f"batch {B})")
 
     if args.what == "adam":
         # optimizer-update lowering A/B: per-leaf Adam (~6 elementwise ops x

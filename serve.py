@@ -45,6 +45,11 @@ def main(argv=None):
                         "generate.py")
     p.add_argument("--maxlen", type=int, default=12)
     p.add_argument("--penalty", type=float, default=1.0)
+    p.add_argument("--scan-unroll", type=int, default=6,
+                   help="beam-scan body replication (identical numerics); 6 "
+                        "measured 1.13x decode throughput on the v5e "
+                        "(BENCH.md round 3) at ~6x warmup compile time; 1 "
+                        "restores the plain loop")
     p.add_argument("--device", default="")
     args = p.parse_args(argv)
 
@@ -75,7 +80,8 @@ def main(argv=None):
 
     gcfg = GenerateConfig(maxlen=args.maxlen, beam=args.beam,
                           penalty=args.penalty, nbest=1,
-                          cache_dtype=args.cache_dtype)
+                          cache_dtype=args.cache_dtype,
+                          scan_unroll=args.scan_unroll)
     responder = Responder(params, cfg, vocab, gcfg, max_batch=args.max_batch,
                           feat_int8=bool(args.feat_int8))
     logging.info("warmup compile...")
