@@ -170,6 +170,14 @@ class GenerateConfig:
                                         # throughput at 6 on the v5e (BENCH.md
                                         # round 3) for ~6x the program size;
                                         # bench/serving default 6
+    compute_dtype: str = "float32"      # per-step decoder activation dtype;
+                                        # 'bfloat16' runs the step GEMMs in
+                                        # bf16 (attention scores + generator
+                                        # head stay f32).  Measured NEGATIVE
+                                        # on the v5e at d128 AND d512 (0.57x/
+                                        # 0.68x — decode is op-latency-bound,
+                                        # the casts add ops; BENCH.md round 3)
+                                        # — default-off knob for other hw
 
 
 # ---------------------------------------------------------------------------

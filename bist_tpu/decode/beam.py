@@ -69,6 +69,10 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
     # still accumulate f32) — measured 1.68× (cache alone) on the v5e,
     # answers identical on trained models (BENCH.md round 3)
     cache_dt = jnp.bfloat16 if gcfg.cache_dtype == "bfloat16" else jnp.float32
+    # compute_dtype governs the per-step decoder ACTIVATIONS (and thus the
+    # projection GEMMs); scores/softmax/generator stay f32 — see decode_step
+    compute_dt = (jnp.bfloat16 if gcfg.compute_dtype == "bfloat16"
+                  else jnp.float32)
     ctxs = [precompute_decode_ctx(p, cfg, batch, dtype=cache_dt)
             for p in params_list]
     caches = [init_cache(cfg, B * K, maxlen + 1, dtype=cache_dt)
@@ -90,7 +94,8 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
         new_caches = []
         for p, ctx_m, cache in zip(params_list, ctxs, caches):
             lp_m, cache = decode_step(p, cfg, ctx_m, cache,
-                                      cur.reshape(B * K), l, beam=K)
+                                      cur.reshape(B * K), l, beam=K,
+                                      compute_dtype=compute_dt)
             logp = logp + lp_m
             new_caches.append(cache)
         caches = tuple(new_caches)

@@ -358,11 +358,18 @@ def _mha_cross_cached(p_attn: Params, h: int, x: jnp.ndarray, KV, mask,
 
 def decode_step(params: Params, cfg: ModelConfig, ctx: DecodeCtx,
                 cache: DecodeCache, token: jnp.ndarray, pos,
-                beam: int = 1) -> Tuple[jnp.ndarray, DecodeCache]:
+                beam: int = 1,
+                compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, DecodeCache]:
     """Advance one token for B·beam hypothesis rows.  token: (B·beam,) int32
     ids at absolute position `pos` (0 = <sos>).  `ctx` stays at B rows (never
     tiled); `cache` has B·beam rows.  Returns (log-probs (B·beam, V), updated
     cache).
+
+    `compute_dtype=bfloat16` runs the per-step decoder activations (and thus
+    every projection GEMM — layers.linear casts weights to the activation
+    dtype) in bf16; attention scores/softmax stay f32
+    (layers.attention_weights) and the generator head consumes f32 inputs so
+    log-prob ranking is computed at full precision.
 
     Eval mode (no dropout) — matches generation (generate.py:26 model.eval)."""
     from bist_tpu.models.generator import apply_generator_step
@@ -371,6 +378,7 @@ def decode_step(params: Params, cfg: ModelConfig, ctx: DecodeCtx,
     pe = positional_encoding_table(cfg.d_model, cfg.max_pos)
     x = embed(params["embed"], token[:, None], cfg.d_model)    # (B·beam, 1, D)
     x = add_positional(pe, x, 0.0, None, offset=pos)
+    x = x.astype(compute_dtype)
     encoded_tgt = x
     dec = params["decoder"]
     slots = bist.mm_layer_cross_slots(cfg)
@@ -417,6 +425,10 @@ def decode_step(params: Params, cfg: ModelConfig, ctx: DecodeCtx,
 
     decoded = layer_norm(dec["norm"], x)                      # (B·beam, 1, D)
     B = decoded.shape[0] // beam
+    # generator head in f32: vocab logits / pointer mixing decide the beam
+    # ranking, so they get full precision regardless of compute_dtype
+    decoded = decoded.astype(jnp.float32)
+    encoded_tgt = encoded_tgt.astype(jnp.float32)
     logp = apply_generator_step(
         params["gen"], cfg, params["embed"]["lut"],
         decoded.reshape(B, beam, -1), encoded_tgt.reshape(B, beam, -1),

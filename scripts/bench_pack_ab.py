@@ -31,9 +31,12 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--what", default="both",
                     choices=["train", "decode", "prng", "adam", "presplit",
-                             "cachedtype", "unroll", "both"])
+                             "cachedtype", "unroll", "computedtype", "both"])
     ap.add_argument("--unroll", type=int, default=3,
                     help="beam-scan unroll factor for --what unroll")
+    ap.add_argument("--d-model", type=int, default=128,
+                    help="model width (128 = flagship; 512 = reference "
+                         "default width) for regime-dependent A/Bs")
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
@@ -55,7 +58,8 @@ def main():
     dev = jax.devices()[0]
     n_it = args.iters
     print(f"device: {dev.platform} ({dev.device_kind}), batch={args.batch}, "
-          f"chained steps={n_it}, reps={args.reps} interleaved", file=sys.stderr)
+          f"d_model={args.d_model}, chained steps={n_it}, reps={args.reps} "
+          "interleaved", file=sys.stderr)
     rng = np.random.default_rng(0)
     B, Lq, Lh, Lc, Lt, T, S, Dv = args.batch, 16, 64, 16, 16, 16, 16, 2048
     V = 4000
@@ -74,7 +78,8 @@ def main():
         is_leaf=lambda x: x is None)
 
     cfg = ModelConfig(vocab_size=V, nb_blocks=3, nb_venc_blocks=3,
-                      nb_cenc_blocks=3, d_model=128, att_h=8, dropout=0.2,
+                      nb_cenc_blocks=3, d_model=args.d_model, att_h=8,
+                      dropout=0.2,
                       include_caption="summary", separate_caption=True,
                       ft_sizes=(Dv,), enc_st_combine="none",
                       enc_vc_combine="dyn", dec_st_combine="seq")
@@ -174,6 +179,28 @@ def main():
         print(f"beam batch  unroll={args.unroll}: {un:.2f} ms  unroll=1: "
               f"{base:.2f} ms  (unroll speedup {base / max(un, 1e-9):.3f}x; "
               f"batch {B})")
+
+    if args.what == "computedtype":
+        # decode-step activation dtype A/B on top of the shipped bf16-cache +
+        # unroll defaults: bf16 step GEMMs (scores/generator stay f32) vs f32
+        gc_f = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
+                              cache_dtype="bfloat16")
+        gc_b = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
+                              cache_dtype="bfloat16",
+                              compute_dtype="bfloat16")
+        dc_b = build_decode_chain(False, gc=gc_b, unroll=args.unroll)
+        dc_f = build_decode_chain(False, gc=gc_f, unroll=args.unroll)
+        a_1, b_1 = interleave(lambda: float(dc_b(params, batch, n=2)),
+                              lambda: float(dc_f(params, batch, n=2)),
+                              args.reps)
+        a_2, b_2 = interleave(lambda: float(dc_b(params, batch, n=6)),
+                              lambda: float(dc_f(params, batch, n=6)),
+                              args.reps)
+        bf = max(a_2 - a_1, 0.0) / 4 * 1e3
+        f32 = max(b_2 - b_1, 0.0) / 4 * 1e3
+        print(f"beam batch  bf16-compute: {bf:.2f} ms  f32-compute: "
+              f"{f32:.2f} ms  (bf16-compute speedup {f32 / max(bf, 1e-9):.3f}x"
+              f"; batch {B}, unroll {args.unroll})")
 
     if args.what == "adam":
         # optimizer-update lowering A/B: per-leaf Adam (~6 elementwise ops x

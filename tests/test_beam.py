@@ -116,6 +116,24 @@ def test_bf16_cache_close_to_f32(rng):
                                np.asarray(rbf.scores), rtol=0.05, atol=0.05)
 
 
+def test_bf16_compute_close_to_f32(rng):
+    """compute_dtype='bfloat16' runs the per-step decoder activations in bf16
+    (scores/softmax/generator stay f32).  On a tiny model the hypotheses must
+    match f32 and scores stay close."""
+    cfg = tiny_cfg()
+    batch = tiny_batch(rng)
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    g32 = GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=3)
+    gbf = GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=3,
+                         cache_dtype="bfloat16", compute_dtype="bfloat16")
+    r32 = beam_search(params, cfg, batch, g32)
+    rbf = beam_search(params, cfg, batch, gbf)
+    np.testing.assert_array_equal(np.asarray(r32.tokens),
+                                  np.asarray(rbf.tokens))
+    np.testing.assert_allclose(np.asarray(r32.scores),
+                               np.asarray(rbf.scores), rtol=0.05, atol=0.05)
+
+
 def test_scan_unroll_identical(rng):
     """scan_unroll replicates the lax.scan body (the bench/serving perf knob,
     1.13x at 6 on the v5e) — it must be bit-identical to the plain loop."""
