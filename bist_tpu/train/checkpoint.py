@@ -48,6 +48,55 @@ def save_checkpoint(path: str, state, *, epoch: int = 0,
             pickle.dump(payload, f)
 
 
+class AsyncSaver:
+    """Non-blocking checkpoint writes (production path).
+
+    The reference saves by pickling the whole nn.Module on the main thread
+    (train.py:156-177) — a full stall.  Orbax's AsyncCheckpointer snapshots
+    device arrays to host memory DURING save() (so the caller may donate or
+    overwrite them immediately after it returns) and serializes to disk on a
+    background thread; `wait()` joins the in-flight write.  At most one
+    write is in flight — save() joins the previous one first — so a
+    checkpoint directory is always complete once the next save starts or
+    wait() returns.  Falls back to the synchronous writer without orbax.
+    """
+
+    def __init__(self):
+        self._ckptr = (ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+                       if _HAVE_ORBAX else None)
+
+    def save(self, path: str, state, *, epoch: int = 0,
+             best_valid_loss: float = float("inf"),
+             extra: Optional[Dict[str, Any]] = None) -> None:
+        if self._ckptr is None:  # pragma: no cover — orbax is in the image
+            return save_checkpoint(path, state, epoch=epoch,
+                                   best_valid_loss=best_valid_loss,
+                                   extra=extra)
+        self.wait()
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "meta": {"epoch": epoch,
+                     "best_valid_loss": float(best_valid_loss),
+                     **(extra or {})},
+        }
+        self._ckptr.save(os.path.abspath(path), payload, force=True)
+
+    def wait(self) -> None:
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
+
+    # context-manager sugar: `with AsyncSaver() as saver: ...` guarantees the
+    # last write is joined on exit (incl. exceptions)
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.wait()
+        return False
+
+
 def load_checkpoint(path: str, template_state=None):
     """Returns (payload dict).  If template_state is given, arrays are
     restored into its treedef (safer across orbax versions)."""

@@ -93,6 +93,11 @@ def build_parser():
     p.add_argument("--report-interval", default=100, type=int)
     p.add_argument("--warmup-steps", default=4000, type=int)
     p.add_argument("--save-all", default=0, type=int)
+    p.add_argument("--async-ckpt", default=1, type=int,
+                   help="write checkpoints on a background thread (orbax "
+                        "AsyncCheckpointer: device arrays snapshot to host "
+                        "during save, disk serialization overlaps the next "
+                        "epoch); 0 restores blocking writes")
     p.add_argument("--verbose", "-v", default=0, type=int)
     # TPU additions
     p.add_argument("--resume", default="", type=str,
@@ -129,7 +134,8 @@ def main(argv=None):
     from bist_tpu.data.features import build_stores, feature_shape
     from bist_tpu.data.loader import AVSDLoader
     from bist_tpu.parallel.mesh import DataParallel
-    from bist_tpu.train.checkpoint import restore_train_state, save_checkpoint
+    from bist_tpu.train.checkpoint import (AsyncSaver, restore_train_state,
+                                           save_checkpoint)
     from bist_tpu.train.loop import (TrainState, append_trace,
                                      create_train_state, init_csv_logs,
                                      make_eval_step, make_train_step,
@@ -259,6 +265,11 @@ def main(argv=None):
     data_key = (jax.random.key(args.rand_seed + 777, impl="rbg")
                 if args.prng == "rbg"
                 else jax.random.PRNGKey(args.rand_seed + 777))
+    # async checkpoint writes: disk serialization overlaps the next epoch
+    # (save() snapshots device arrays to host before returning, so the
+    # train loop may donate/update params immediately)
+    saver = AsyncSaver() if args.async_ckpt else None
+    save_fn = saver.save if saver is not None else save_checkpoint
     for epoch in range(start_epoch, args.num_epochs):
         t0 = time.time()
         train_losses = run_epoch(train_loader, None, train_step, epoch,
@@ -283,17 +294,19 @@ def main(argv=None):
         valid_loss = (valid_losses["out"] + valid_losses["temporal_ae"]
                       + valid_losses["spatial_ae"])
         if args.save_all:
-            save_checkpoint(f"{args.model}_{epoch + 1}", holder[0],
-                            epoch=epoch, best_valid_loss=min_valid_loss)
+            save_fn(f"{args.model}_{epoch + 1}", holder[0],
+                    epoch=epoch, best_valid_loss=min_valid_loss)
         if min_valid_loss > valid_loss:
             bestmodel_num = epoch + 1
             logging.info("validation loss reduced %.4f -> %.4f",
                          min_valid_loss, valid_loss)
             min_valid_loss = valid_loss
-            save_checkpoint(args.model + "_best", holder[0], epoch=epoch,
-                            best_valid_loss=min_valid_loss)
+            save_fn(args.model + "_best", holder[0], epoch=epoch,
+                    best_valid_loss=min_valid_loss)
             logging.info("writing model params to %s_best", args.model)
         logging.info("----------------")
+    if saver is not None:
+        saver.wait()          # join the last in-flight checkpoint write
     logging.info("the best model is epoch %d.", bestmodel_num)
 
 
