@@ -159,9 +159,12 @@ def beam_search_jit(params, cfg: ModelConfig, batch: Batch,
 
 
 def greedy_decode(params, cfg: ModelConfig, batch: Batch,
-                  maxlen: int, cache_dtype: str = "float32") -> jnp.ndarray:
+                  maxlen: int, cache_dtype: str = "float32",
+                  unroll: int = 1) -> jnp.ndarray:
     """Argmax decoding; returns (B, maxlen) token ids (may contain <eos>;
-    caller truncates).  Fixes the reference's dead greedy path."""
+    caller truncates).  Fixes the reference's dead greedy path.
+    `unroll` = scan-body replication, the same perf knob as
+    GenerateConfig.scan_unroll (identical numerics)."""
     B = batch.query.shape[0]
     dt = jnp.bfloat16 if cache_dtype == "bfloat16" else jnp.float32
     ctx = precompute_decode_ctx(params, cfg, batch, dtype=dt)
@@ -174,7 +177,8 @@ def greedy_decode(params, cfg: ModelConfig, batch: Batch,
         nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         return (nxt, cache), nxt
 
-    (_, _), out = jax.lax.scan(step, (tok0, cache), jnp.arange(maxlen))
+    (_, _), out = jax.lax.scan(step, (tok0, cache), jnp.arange(maxlen),
+                               unroll=unroll)
     return jnp.moveaxis(out, 0, 1)  # (B, maxlen)
 
 

@@ -56,9 +56,12 @@ def filter_logits(logits: jnp.ndarray, top_k: int = 0,
 def sample_decode(params, cfg: ModelConfig, batch: Batch, maxlen: int,
                   key: jax.Array, temperature: float = 1.0, top_k: int = 0,
                   top_p: float = 0.0,
-                  cache_dtype: str = "float32") -> jnp.ndarray:
+                  cache_dtype: str = "float32",
+                  unroll: int = 1) -> jnp.ndarray:
     """Sampled decoding; returns (B, maxlen) token ids (may contain <eos>;
-    caller truncates, as with greedy_decode)."""
+    caller truncates, as with greedy_decode).  `unroll` = scan-body
+    replication, the same perf knob as GenerateConfig.scan_unroll
+    (identical numerics)."""
     B = batch.query.shape[0]
     dt = jnp.bfloat16 if cache_dtype == "bfloat16" else jnp.float32
     ctx = precompute_decode_ctx(params, cfg, batch, dtype=dt)
@@ -78,5 +81,6 @@ def sample_decode(params, cfg: ModelConfig, batch: Batch, maxlen: int,
             jax.random.fold_in(key, l), logits, axis=-1).astype(jnp.int32)
         return (nxt, cache), nxt
 
-    (_, _), out = jax.lax.scan(step, (tok0, cache), jnp.arange(maxlen))
+    (_, _), out = jax.lax.scan(step, (tok0, cache), jnp.arange(maxlen),
+                               unroll=unroll)
     return jnp.moveaxis(out, 0, 1)

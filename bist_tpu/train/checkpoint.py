@@ -48,6 +48,31 @@ def save_checkpoint(path: str, state, *, epoch: int = 0,
             pickle.dump(payload, f)
 
 
+def find_latest_checkpoint(model_prefix: str) -> Optional[str]:
+    """Newest complete checkpoint directory for a model prefix, or None.
+
+    Candidates are `<prefix>_best` and `<prefix>_<N>` (the two layouts
+    train.py writes); 'newest' is filesystem mtime — the last completed
+    write is by construction the latest training state, whichever layout it
+    used.  In-flight/aborted orbax writes (tmp-suffixed dirs) are skipped,
+    so an auto-resume after SIGKILL picks the last COMPLETE save.  Used by
+    train.py `--resume auto` (restart-safe production launch: same command
+    line works for the first start and every restart)."""
+    import glob
+
+    cands = []
+    for p in glob.glob(model_prefix + "_*"):
+        if not os.path.isdir(p) or "tmp" in os.path.basename(p):
+            continue
+        suffix = os.path.basename(p)[len(os.path.basename(model_prefix)) + 1:]
+        if suffix != "best" and not suffix.isdigit():
+            continue
+        if not os.listdir(p):
+            continue
+        cands.append(p)
+    return max(cands, key=os.path.getmtime) if cands else None
+
+
 class AsyncSaver:
     """Non-blocking checkpoint writes (production path).
 

@@ -173,7 +173,8 @@ def main(argv=None):
     n_done = 0
     beam_jit = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
     greedy_jit = jax.jit(lambda p, b: greedy_decode(
-        p, cfg, b, gcfg.maxlen, cache_dtype=gcfg.cache_dtype))
+        p, cfg, b, gcfg.maxlen, cache_dtype=gcfg.cache_dtype,
+        unroll=gcfg.scan_unroll))
     # oracle = teacher-forced argmax; needs labeled targets (reference's dead
     # oracle_decode path, made to work — see decode/beam.py:oracle_decode)
     oracle_jit = jax.jit(lambda p, b: oracle_decode(p, cfg, b))
@@ -182,7 +183,8 @@ def main(argv=None):
     sample_key = jax.random.PRNGKey(args.sample_seed)
     sample_jit = jax.jit(lambda p, b: sample_decode(
         p, cfg, b, gcfg.maxlen, sample_key, temperature=args.temperature,
-        top_k=args.top_k, top_p=args.top_p, cache_dtype=gcfg.cache_dtype))
+        top_k=args.top_k, top_p=args.top_p, cache_dtype=gcfg.cache_dtype,
+        unroll=gcfg.scan_unroll))
     if gcfg.decode_style == "oracle" and args.undisclosed_only:
         raise SystemExit("--decode-style oracle requires labeled targets; "
                          "run without --undisclosed-only")

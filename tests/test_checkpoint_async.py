@@ -60,6 +60,32 @@ def test_mutation_after_save_does_not_corrupt(tmp_path, state):
     np.testing.assert_array_equal(np.asarray(payload["params"]["w"]), snap)
 
 
+def test_find_latest_checkpoint(tmp_path, state):
+    """--resume auto semantics: newest complete save wins; tmp/incomplete
+    dirs and non-checkpoint artifacts are ignored; None when nothing
+    exists."""
+    import os
+    import time
+
+    from bist_tpu.train.checkpoint import find_latest_checkpoint
+
+    prefix = str(tmp_path / "exp" / "mtn")
+    assert find_latest_checkpoint(prefix) is None
+
+    save_checkpoint(prefix + "_1", state, epoch=0)
+    time.sleep(0.05)
+    save_checkpoint(prefix + "_best", state, epoch=1)
+    # decoys: conf file, tmp write, empty dir, unrelated suffix
+    open(prefix + ".conf", "w").write("{}")
+    os.makedirs(prefix + "_2.orbax-checkpoint-tmp-123")
+    os.makedirs(prefix + "_empty_dir")  # non-numeric suffix → ignored
+    assert find_latest_checkpoint(prefix) == prefix + "_best"
+
+    time.sleep(0.05)
+    save_checkpoint(prefix + "_2", state, epoch=2)
+    assert find_latest_checkpoint(prefix) == prefix + "_2"
+
+
 def test_back_to_back_saves_serialize(tmp_path, state):
     """save() joins the previous in-flight write: both directories restore
     their own epoch metadata."""

@@ -39,27 +39,42 @@ def test_sigkill_then_resume(tmp_path):
             cmd += ["--resume", resume]
         return cmd
 
-    # start training, SIGKILL once the first epoch's checkpoint exists
+    # start training, SIGKILL once the first epoch's checkpoint exists.
+    # The pipe MUST be drained concurrently: the child logs more than the
+    # 64 KB OS pipe buffer (orbax's async writer alone emits ~40 INFO lines
+    # per save), and an undrained PIPE blocks it mid-save — the checkpoint
+    # then never finalizes and this test times out.
+    import threading
+
     proc = subprocess.Popen(train_cmd(), cwd=ROOT,
                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    out_lines = []
+    drainer = threading.Thread(
+        target=lambda: out_lines.extend(
+            ln.decode(errors="replace") for ln in proc.stdout),
+        daemon=True)
+    drainer.start()
     ckpt = model + "_best"
     deadline = time.time() + 600
     while time.time() < deadline:
         if os.path.isdir(ckpt) and os.listdir(ckpt):
             break
         if proc.poll() is not None:
-            out = proc.stdout.read().decode()
-            pytest.fail(f"training exited before checkpointing:\n{out[-2000:]}")
+            pytest.fail("training exited before checkpointing:\n"
+                        + "".join(out_lines[-40:]))
         time.sleep(1.0)
     else:
         proc.kill()
-        pytest.fail("no checkpoint appeared within the deadline")
+        pytest.fail("no checkpoint appeared within the deadline:\n"
+                    + "".join(out_lines[-40:]))
     time.sleep(1.0)          # let any in-flight orbax write settle
     proc.send_signal(signal.SIGKILL)
     proc.wait()
 
-    # resume from the surviving checkpoint and run to completion
-    r = subprocess.run(train_cmd(resume=ckpt), cwd=ROOT, timeout=900,
+    # resume via the production restart mode: --resume auto must find the
+    # surviving complete checkpoint itself (find_latest_checkpoint) and run
+    # to completion
+    r = subprocess.run(train_cmd(resume="auto"), cwd=ROOT, timeout=900,
                        capture_output=True, text=True)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     assert "resumed from" in (r.stdout + r.stderr)

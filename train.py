@@ -101,7 +101,10 @@ def build_parser():
     p.add_argument("--verbose", "-v", default=0, type=int)
     # TPU additions
     p.add_argument("--resume", default="", type=str,
-                   help="checkpoint dir to resume from (params+opt state+step)")
+                   help="checkpoint dir to resume from (params+opt state+"
+                        "step), or 'auto' to pick up the newest complete "
+                        "checkpoint for --model (fresh start if none) — the "
+                        "restart-safe production launch mode")
     p.add_argument("--num-devices", default=0, type=int,
                    help="limit the data-parallel mesh (0 = all devices)")
     p.add_argument("--bf16", default=0, type=int, help="bfloat16 activations")
@@ -231,11 +234,19 @@ def main(argv=None):
     state, tx = create_train_state(jax.random.PRNGKey(args.rand_seed), cfg, tcfg)
     start_epoch = 0
     min_valid_loss = 1.0e10
-    if args.resume:
-        state, meta = restore_train_state(args.resume, TrainState, state)
+    resume_path = args.resume
+    if resume_path == "auto":
+        from bist_tpu.train.checkpoint import find_latest_checkpoint
+
+        resume_path = find_latest_checkpoint(args.model) or ""
+        if not resume_path:
+            logging.info("--resume auto: no checkpoint for %s — fresh start",
+                         args.model)
+    if resume_path:
+        state, meta = restore_train_state(resume_path, TrainState, state)
         start_epoch = int(meta.get("epoch", -1)) + 1
         min_valid_loss = float(meta.get("best_valid_loss", 1.0e10))
-        logging.info("resumed from %s at step %d epoch %d", args.resume,
+        logging.info("resumed from %s at step %d epoch %d", resume_path,
                      int(state.step), start_epoch)
     state = TrainState(dp.put_replicated(state.params),
                        dp.put_replicated(state.opt_state), state.step)
