@@ -113,6 +113,10 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 # mid-process retrace explicitly (scripts/bench_pack_ab.py).
 import os as _os
 
+# Read at TRACE time: BIST_PACK_QKV must be set before the first jit of any
+# function using mha — flipping the global after a program is compiled keeps
+# the stale lowering in the jit cache (clear with jax.clear_caches() when
+# A/B-ing in one process, as scripts/bench_pack_ab.py does).
 PACK_PROJECTIONS = _os.environ.get("BIST_PACK_QKV", "0") != "0"
 
 

@@ -224,8 +224,6 @@ class DecodeCtx(NamedTuple):
     query-position axis, so the context is never tiled per hypothesis."""
     layer_kv: Tuple[Dict[str, Tuple[jnp.ndarray, jnp.ndarray]], ...]
     masks: Dict[str, Optional[jnp.ndarray]]
-    ft: FT                      # encoded_query/cap/his (+ encoded_ft etc. unused)
-    tokens: Dict[str, jnp.ndarray]
     ptr_src: Tuple[PtrSource, ...]
 
 
@@ -295,8 +293,12 @@ def precompute_decode_ctx(params: Params, cfg: ModelConfig,
         layer_kv = [
             {name: (k.astype(dtype), v.astype(dtype))
              for name, (k, v) in kv.items()} for kv in layer_kv]
-    return DecodeCtx(layer_kv=tuple(layer_kv), masks=masks, ft=ctx_ft,
-                     tokens=toks, ptr_src=ptr_src)
+    # NOTE: the raw encoded_* tensors and token arrays are consumed here to
+    # build ptr_src but are NOT carried in the context — decode_step reads
+    # only layer_kv/masks/ptr_src, and dead (B, L, D) tensors would otherwise
+    # sit in HBM and in every beam program's argument list for the whole
+    # decode (round-3 code-review finding).
+    return DecodeCtx(layer_kv=tuple(layer_kv), masks=masks, ptr_src=ptr_src)
 
 
 def init_cache(cfg: ModelConfig, batch_size: int, max_len: int,

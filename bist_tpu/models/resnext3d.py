@@ -309,11 +309,13 @@ def preprocess_frames(frames: np.ndarray) -> np.ndarray:
 def extract_video_features(params: Params, frames: np.ndarray,
                            stride: int = 4, batch_size: int = 32,
                            mode: str = "spatio_temporal",
-                           apply_fn=None) -> np.ndarray:
-    """frames: (T, H, W, 3) uint8 → (n_clips, 16, 2048) features
-    (or (n_clips, 2048) for temporal_only)."""
+                           apply_fn=None,
+                           sample_duration: int = SAMPLE_DURATION
+                           ) -> np.ndarray:
+    """frames: (T, H, W, 3) uint8 → (n_clips, sample_duration, 2048)
+    features (or (n_clips, 2048) for temporal_only)."""
     proc = preprocess_frames(frames)
-    windows = make_clip_windows(len(proc), stride=stride)
+    windows = make_clip_windows(len(proc), sample_duration, stride=stride)
     if not windows:
         raise ValueError("no frames")
     clips = np.stack([proc[w] for w in windows])          # (N, 16, 112, 112, 3)

@@ -49,8 +49,10 @@ def batch_specs(dp_axis: Optional[str] = "data",
     `dp_axis` (None = no data-parallel axis)."""
     row = P(dp_axis)
     long = P(dp_axis, sp_axis)
+    # fts_scale (int8 feature path, batching.quantize_features) is
+    # (B, T, S, 1) — its T axis must shard WITH fts
     return Batch(query=row, his=long, trg=row, trg_y=row, cap=row,
-                 fts=long, audio_fts=long)
+                 fts=long, audio_fts=long, fts_scale=long)
 
 
 def shard_batch(batch: Batch, mesh: Mesh, dp_axis: Optional[str] = "data",

@@ -113,11 +113,17 @@ class Responder:
         return words2ids(text, self.vocab)
 
     def batch_rows(self, n_reqs: int) -> int:
-        """Smallest compiled batch bucket covering `n_reqs` rows."""
+        """Smallest compiled batch bucket covering `n_reqs` rows.
+
+        Raises for n_reqs beyond the largest bucket: silently clamping
+        would under-allocate rows in make_batch (the DynamicBatcher never
+        exceeds max_batch; direct respond() callers must split)."""
         for b in self.batch_buckets:
             if n_reqs <= b:
                 return b
-        return self.batch_buckets[-1]
+        raise ValueError(
+            f"{n_reqs} requests exceed the largest compiled batch bucket "
+            f"{self.batch_buckets[-1]}; split the group or raise max_batch")
 
     def make_batch(self, reqs: List[Request]) -> Batch:
         n = self.batch_rows(len(reqs))
@@ -177,12 +183,14 @@ class Responder:
             r._event.set()
 
     def warmup(self, feature_shape: Optional[Tuple[int, ...]] = None,
-               lens=(16,), t_clips=16, all_batch_buckets: bool = False) -> None:
+               lens=(16,), t_clips=16, all_batch_buckets: bool = True) -> None:
         """Compile the serve-time geometry before taking traffic.
 
-        all_batch_buckets=True compiles every batch bucket (one program per
-        bucket) so no request group ever hits a serve-time compile; default
-        warms only the smallest bucket (the others compile on first use)."""
+        Default compiles EVERY batch bucket (one program per bucket) so no
+        request group ever hits a serve-time compile — the module contract
+        ("compiled at startup, never at serve time").  Pass
+        all_batch_buckets=False to warm only the smallest bucket when
+        startup latency matters more than first-burst latency."""
 
         def mk():
             return Request(

@@ -62,7 +62,9 @@ def find_latest_checkpoint(model_prefix: str) -> Optional[str]:
 
     cands = []
     for p in glob.glob(model_prefix + "_*"):
-        if not os.path.isdir(p) or "tmp" in os.path.basename(p):
+        # skip orbax in-flight writes by their actual tmp suffix — NOT a bare
+        # "tmp" substring, which would reject model names like exps/tmp_run1
+        if not os.path.isdir(p) or "orbax-checkpoint-tmp" in os.path.basename(p):
             continue
         suffix = os.path.basename(p)[len(os.path.basename(model_prefix)) + 1:]
         if suffix != "best" and not suffix.isdigit():

@@ -284,7 +284,8 @@ def main(argv=None):
             frames = load_frames(path)
             feats = extract_video_features(
                 params, frames, stride=args.stride,
-                batch_size=args.batch_size, mode=mode, apply_fn=apply_fn)
+                batch_size=args.batch_size, mode=mode, apply_fn=apply_fn,
+                sample_duration=args.sample_duration)
             # `segment` in score JSON: the clip's 1-based [first, last]
             # frame range (the generate_result_video.py contract, reference
             # generate_result_video.py:62-63)

@@ -80,15 +80,21 @@ def unit_labels(clips, class_names, temporal_unit: int):
     units = []
     for i in range(0, len(clips), unit):
         group = clips[i:i + unit]
-        scores = np.mean([np.asarray(c["scores"], np.float64) for c in group],
-                         axis=0)
-        # `scores` are aligned with each clip's `top5` class ids; the argmax
-        # maps through the FIRST clip's ids (exact when a group shares its
-        # top5 — which also makes this cleaner than the reference, whose
-        # group loop re-adds clips[i]'s scores instead of clips[j]'s,
-        # generate_result_video.py:58-59)
-        best = int(np.argmax(scores))
-        cls = group[0].get("top5", list(range(len(scores))))[best]
+        # accumulate scores BY CLASS ID across the group's clips (each
+        # clip's `scores` are aligned with its own `top5` ids, and the
+        # extractor emits them sorted descending — a positionwise slot
+        # average would therefore always elect clip[0]'s top-1 and mix
+        # scores of unrelated classes; round-3 review finding).  This is
+        # the cross-clip vote the reference intends (its own group loop
+        # has a bug re-adding clips[i]'s scores instead of clips[j]'s,
+        # generate_result_video.py:58-59).
+        acc: dict = {}
+        for c in group:
+            scores = np.asarray(c["scores"], np.float64)
+            ids = c.get("top5", list(range(len(scores))))
+            for cls_id, s in zip(ids, scores):
+                acc[cls_id] = acc.get(cls_id, 0.0) + float(s)
+        cls = max(acc, key=acc.get)
         label = class_names[cls] if cls < len(class_names) else str(cls)
         units.append((label, (group[0]["segment"][0],
                               group[-1]["segment"][1])))

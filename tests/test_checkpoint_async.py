@@ -85,6 +85,14 @@ def test_find_latest_checkpoint(tmp_path, state):
     save_checkpoint(prefix + "_2", state, epoch=2)
     assert find_latest_checkpoint(prefix) == prefix + "_2"
 
+    # model names CONTAINING 'tmp' must still resume (round-3 review: a bare
+    # 'tmp' substring check rejected them); only orbax's actual in-flight
+    # suffix is skipped
+    tprefix = str(tmp_path / "exp" / "tmp_run1")
+    save_checkpoint(tprefix + "_best", state, epoch=0)
+    os.makedirs(tprefix + "_best.orbax-checkpoint-tmp-99")
+    assert find_latest_checkpoint(tprefix) == tprefix + "_best"
+
 
 def test_back_to_back_saves_serialize(tmp_path, state):
     """save() joins the previous in-flight write: both directories restore

@@ -133,3 +133,23 @@ def test_extract_video_features_shapes():
     feats = extract_video_features(params, frames, stride=8, batch_size=4)
     # ceil(19/8) = 3 clips
     assert feats.shape == (3, 16, 2048)
+
+
+def test_extract_video_features_sample_duration():
+    """--sample_duration must reach the per-video clip windows (round-3
+    review: it was silently ignored there while the score-JSON `segment`
+    ranges and the packed path honored it)."""
+    from bist_tpu.models.resnext3d import make_clip_windows
+
+    params = init_resnext101(jax.random.PRNGKey(0))
+    frames = np.random.default_rng(0).integers(
+        0, 255, size=(20, 120, 160, 3)).astype(np.uint8)
+    f8 = extract_video_features(params, frames, stride=4, batch_size=4,
+                                sample_duration=8)
+    assert f8.shape == (len(make_clip_windows(20, 8, 4)), 16, 2048)
+    # duration changes which frames each clip pools (0..7 vs 0..15), so the
+    # features must differ — they were identical when the per-video path
+    # ignored sample_duration
+    f16 = extract_video_features(params, frames, stride=4, batch_size=4,
+                                 sample_duration=16)
+    assert not np.allclose(f8[0], f16[0])

@@ -91,6 +91,21 @@ def test_sp_matches_single_device(setup):
     _assert_grads_close(ref_grads, sp_grads)
 
 
+def test_shard_batch_with_int8_scale(setup):
+    """fts_scale (the int8 feature path) must shard WITH fts — its T axis
+    on 'seq' (round-3 review finding: it was missing from batch_specs)."""
+    from bist_tpu.data.batching import quantize_features
+
+    _, _, batch, _, _, _ = setup
+    q, scale = quantize_features(batch.fts)
+    qbatch = batch._replace(fts=q, fts_scale=scale)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "seq"))
+    sharded = shard_batch(qbatch, mesh)
+    assert sharded.fts_scale.sharding.spec == P("data", "seq")
+    assert sharded.fts.sharding.spec == P("data", "seq")
+
+
 def test_dp_tp_sp_composition(setup):
     """3-D (data=2, model=2, seq=2) mesh: Megatron param sharding + sequence
     activation sharding + batch rows sharded, all at once."""

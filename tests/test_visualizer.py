@@ -20,14 +20,26 @@ def test_unit_labels_grouping():
         {"top5": [2, 4, 0], "scores": [0.9, 0.05, 0.05], "segment": [9, 24]},
     ]
     names = [f"class{i}" for i in range(5)]
-    # whole video as one unit: scores averaged across all clips -> argmax 0
-    # within top5 of the FIRST clip -> class id 3
+    # whole video as one unit: scores accumulate BY CLASS ID across clips —
+    # class 1 totals 1.1 (0.3 + 0.8), the group winner
     units = unit_labels(clips, names, 0)
-    assert units == [("class3", (1, 24))]
-    # unit=2: first group averages clips 0-1 (argmax slot 1 -> id 1),
-    # second group is clip 2 alone (id 2)
+    assert units == [("class1", (1, 24))]
+    # unit=2: clips 0-1 -> class 1 again; clip 2 alone -> class 2
     units = unit_labels(clips, names, 2)
     assert units == [("class1", (1, 20)), ("class2", (9, 24))]
+
+
+def test_unit_labels_descending_producer_scores():
+    """The extractor emits each clip's scores sorted DESCENDING; the vote
+    must still be able to elect a class that is not clip[0]'s top-1 (a
+    positionwise slot average never could — round-3 review finding)."""
+    clips = [
+        {"top5": [7, 2], "scores": [0.5, 0.4], "segment": [1, 16]},
+        {"top5": [2, 9], "scores": [0.6, 0.3], "segment": [5, 20]},
+    ]
+    names = [f"class{i}" for i in range(10)]
+    # class 2 totals 1.0 across the clips; class 7 only 0.5
+    assert unit_labels(clips, names, 0) == [("class2", (1, 20))]
 
 
 def test_annotate_and_write_gif_and_frames(tmp_path):
