@@ -1,0 +1,301 @@
+"""AOT serving bundles: jax.export-serialized beam-search programs.
+
+The reference deploys by shipping Python + torch and re-tracing the model at
+import (generate.py rebuilds the nn.Module from the pickled .conf).  A
+TPU-native framework can do better: serialize the LOWERED StableHLO decode
+program once per serving geometry (jax.export), write it beside the weights
+and vocab, and serve from the bundle — the serving host deserializes the
+portable artifact and hands it straight to the backend compiler, with no
+model tracing and no dependence on the model-building Python staying
+bit-identical to training time.
+
+Bundle layout (a directory):
+
+    bundle.json     format tag, ModelConfig / GenerateConfig dicts,
+                    geometry table {key -> shapes}, jax version, platforms
+    vocab.json      word -> id
+    params.npz      flat param arrays keyed by jax.tree_util.keystr paths
+    programs/<key>.bin   one serialized jax.export artifact per geometry
+
+Params stay ARGUMENTS of the exported programs, not baked-in constants:
+artifacts stay small (~100 KB of StableHLO per geometry vs ~MBs of weights)
+and a weight refresh is a params.npz swap — no re-export, no re-lowering.
+
+Geometries are exact compiled shapes (batch rows, token lengths, video
+grid), mirroring bist_tpu.serving's bucket scheme: the bundle carries one
+program per bucket combination the operator expects to serve, and
+`Bundle.beam_fn()` dispatches on the incoming batch's shapes.  Unknown
+geometry raises (a bundle-served host must never silently re-trace — it may
+not even have a tracing-capable model stack).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from bist_tpu.config import (GenerateConfig, ModelConfig, config_to_dict,
+                             model_config_from_dict)
+from bist_tpu.data.batching import Batch
+
+FORMAT = "bist_tpu.bundle.v1"
+
+
+def _register_pytrees() -> None:
+    """jax.export serializes in/out PyTreeDefs; NamedTuple node types must
+    be registered by stable name (idempotent across repeated imports)."""
+    from jax import export as jexport
+
+    from bist_tpu.decode.beam import BeamResult
+
+    for node, name in ((Batch, "bist_tpu.data.batching.Batch"),
+                       (BeamResult, "bist_tpu.decode.beam.BeamResult")):
+        try:
+            jexport.register_namedtuple_serialization(
+                node, serialized_name=name)
+        except ValueError:
+            pass  # already registered
+
+
+_register_pytrees()
+
+
+# ---------------------------------------------------------------------------
+# params <-> flat npz
+
+
+def flatten_params(params) -> Dict[str, np.ndarray]:
+    """Param pytree -> {keystr path: array} (np arrays, host-side)."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    return {jax.tree_util.keystr(path): np.asarray(leaf)
+            for path, leaf in flat}
+
+
+def unflatten_params(flat: Dict[str, np.ndarray], cfg: ModelConfig):
+    """Rebuild the param pytree from keystr-keyed arrays.
+
+    The tree STRUCTURE comes from `jax.eval_shape(init_model, ...)` — shape
+    inference only, no FLOPs, no trace of the forward — so loading a bundle
+    never runs model compute on the host."""
+    import jax
+
+    from bist_tpu.models.model import init_model
+
+    template = jax.eval_shape(lambda k: init_model(k, cfg),
+                              jax.random.PRNGKey(0))
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, aval in paths:
+        key = jax.tree_util.keystr(path)
+        if key not in flat:
+            raise KeyError(f"params.npz is missing {key} "
+                           f"(bundle/config mismatch?)")
+        arr = flat[key]
+        if tuple(arr.shape) != tuple(aval.shape):
+            raise ValueError(f"param {key}: npz shape {arr.shape} != "
+                             f"config-implied {tuple(aval.shape)}")
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# geometries
+
+
+def geometry_of(batch: Batch) -> Dict[str, Any]:
+    """Shape descriptor of a concrete (or abstract) Batch."""
+    g: Dict[str, Any] = {
+        "B": int(batch.query.shape[0]),
+        "Lq": int(batch.query.shape[1]),
+        "Lh": int(batch.his.shape[1]),
+        "Lt": int(batch.trg.shape[1]),
+    }
+    if batch.cap is not None:
+        g["Lc"] = int(batch.cap.shape[1])
+    if batch.fts is not None:
+        g["T"], g["S"], g["Dv"] = (int(d) for d in batch.fts.shape[1:4])
+        g["int8"] = batch.fts_scale is not None
+    if batch.audio_fts is not None:
+        g["Ta"], g["Da"] = (int(d) for d in batch.audio_fts.shape[1:3])
+    return g
+
+
+def geometry_key(geom: Dict[str, Any]) -> str:
+    return "_".join(f"{k}{int(v)}" for k, v in sorted(geom.items()))
+
+
+def abstract_batch(geom: Dict[str, Any], cfg: ModelConfig) -> Batch:
+    """Batch of ShapeDtypeStructs for export-time abstract evaluation."""
+    import jax
+    import jax.numpy as jnp
+
+    def tok(b, l):
+        return jax.ShapeDtypeStruct((b, l), jnp.int32)
+
+    B = geom["B"]
+    fts = scale = audio = None
+    if cfg.has_video:
+        shape = (B, geom["T"], geom["S"], geom["Dv"])
+        if geom.get("int8"):
+            fts = jax.ShapeDtypeStruct(shape, jnp.int8)
+            scale = jax.ShapeDtypeStruct(shape[:3] + (1,), jnp.float32)
+        else:
+            fts = jax.ShapeDtypeStruct(shape, jnp.float32)
+    if cfg.has_audio:
+        audio = jax.ShapeDtypeStruct((B, geom["Ta"], geom["Da"]), jnp.float32)
+    return Batch(
+        query=tok(B, geom["Lq"]), his=tok(B, geom["Lh"]),
+        trg=tok(B, geom["Lt"]), trg_y=tok(B, geom["Lt"]),
+        cap=tok(B, geom["Lc"]) if cfg.has_caption else None,
+        fts=fts, audio_fts=audio, fts_scale=scale)
+
+
+def default_serving_geometries(
+        cfg: ModelConfig,
+        batch_buckets: Sequence[int] = (8, 16, 32, 64),
+        Lq: int = 16, Lh: int = 16, Lc: int = 16, Lt: int = 1,
+        T: int = 16, S: int = 16,
+        feat_int8: bool = False) -> List[Dict[str, Any]]:
+    """One geometry per serving batch bucket at the given length buckets —
+    the same shapes Responder.warmup() compiles (serving.py)."""
+    geoms = []
+    for b in batch_buckets:
+        g: Dict[str, Any] = {"B": b, "Lq": Lq, "Lh": Lh, "Lt": Lt}
+        if cfg.has_caption:
+            g["Lc"] = Lc
+        if cfg.has_video:
+            g.update(T=T, S=S, Dv=cfg.ft_sizes[0], int8=feat_int8)
+        if cfg.has_audio:
+            g.update(Ta=T, Da=cfg.ft_sizes[1])
+        geoms.append(g)
+    return geoms
+
+
+# ---------------------------------------------------------------------------
+# save / load
+
+
+def save_bundle(path: str, params, cfg: ModelConfig, gcfg: GenerateConfig,
+                vocab: Dict[str, int],
+                geometries: Sequence[Dict[str, Any]],
+                platforms: Optional[Sequence[str]] = None) -> Dict[str, str]:
+    """Export one beam-search program per geometry and write the bundle.
+
+    `platforms`: lowering targets baked into the artifacts (default: the
+    current backend only).  Pass ("cpu", "tpu") to build one bundle that a
+    CPU canary and the TPU fleet both load.  Returns {key: program path}."""
+    import jax
+    from jax import export as jexport
+
+    from bist_tpu.decode.beam import beam_search
+
+    os.makedirs(os.path.join(path, "programs"), exist_ok=True)
+    param_avals = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params)
+
+    fn = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
+    table: Dict[str, Dict[str, Any]] = {}
+    written: Dict[str, str] = {}
+    for geom in geometries:
+        key = geometry_key(geom)
+        exp = jexport.export(fn, **kw)(param_avals, abstract_batch(geom, cfg))
+        prog_path = os.path.join(path, "programs", key + ".bin")
+        with open(prog_path, "wb") as f:
+            f.write(exp.serialize())
+        table[key] = dict(geom)
+        written[key] = prog_path
+
+    np.savez(os.path.join(path, "params.npz"), **flatten_params(params))
+    with open(os.path.join(path, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(path, "bundle.json"), "w") as f:
+        json.dump({
+            "format": FORMAT,
+            "model": config_to_dict(cfg),
+            "generate": config_to_dict(gcfg),
+            "geometries": table,
+            "jax_version": jax.__version__,
+            "platforms": list(platforms) if platforms else None,
+        }, f, indent=1)
+    return written
+
+
+@dataclasses.dataclass
+class Bundle:
+    """A loaded serving bundle: weights + vocab + compiled-shape programs."""
+
+    cfg: ModelConfig
+    gcfg: GenerateConfig
+    vocab: Dict[str, int]
+    params: Any
+    programs: Dict[str, Any]            # key -> jax.export.Exported
+    geometries: Dict[str, Dict[str, Any]]
+
+    def beam_fn(self):
+        """(params, batch) -> BeamResult, dispatching on the batch's exact
+        shapes.  Raises KeyError for a geometry the bundle doesn't carry
+        (a bundle host must never silently re-trace)."""
+        from bist_tpu.decode.beam import BeamResult
+
+        def call(params, batch: Batch) -> BeamResult:
+            key = geometry_key(geometry_of(batch))
+            if key not in self.programs:
+                raise KeyError(
+                    f"no exported program for geometry {key}; bundle has "
+                    f"{sorted(self.programs)} — re-export with this "
+                    f"geometry in `geometries`")
+            out = self.programs[key].call(params, batch)
+            return BeamResult(*out)
+
+        return call
+
+    def make_responder(self, **kw):
+        """A serving.Responder running on this bundle's programs.
+
+        batch/len/time buckets are derived FROM the bundle's geometry table
+        so the batcher only ever produces shapes the bundle carries."""
+        from bist_tpu.serving import Responder
+
+        geoms = list(self.geometries.values())
+        kw.setdefault("batch_buckets",
+                      tuple(sorted({g["B"] for g in geoms})))
+        kw.setdefault("max_batch", max(g["B"] for g in geoms))
+        kw.setdefault("len_buckets",
+                      tuple(sorted({g[k] for g in geoms
+                                    for k in ("Lq", "Lh", "Lc") if k in g})))
+        kw.setdefault("time_buckets",
+                      tuple(sorted({g["T"] for g in geoms if "T" in g})))
+        kw.setdefault("feat_int8",
+                      any(g.get("int8") for g in geoms))
+        return Responder(self.params, self.cfg, self.vocab, self.gcfg,
+                         beam_fn=self.beam_fn(), **kw)
+
+
+def load_bundle(path: str) -> Bundle:
+    from jax import export as jexport
+
+    with open(os.path.join(path, "bundle.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != FORMAT:
+        raise ValueError(f"not a bist_tpu bundle: {meta.get('format')!r}")
+    cfg = model_config_from_dict(meta["model"])
+    gcfg = GenerateConfig(**meta["generate"])
+    with open(os.path.join(path, "vocab.json")) as f:
+        vocab = {k: int(v) for k, v in json.load(f).items()}
+    with np.load(os.path.join(path, "params.npz")) as z:
+        params = unflatten_params(dict(z), cfg)
+    programs = {}
+    for key in meta["geometries"]:
+        with open(os.path.join(path, "programs", key + ".bin"), "rb") as f:
+            programs[key] = jexport.deserialize(f.read())
+    return Bundle(cfg=cfg, gcfg=gcfg, vocab=vocab, params=params,
+                  programs=programs, geometries=meta["geometries"])

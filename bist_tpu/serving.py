@@ -58,7 +58,7 @@ class Responder:
                  len_buckets=(16, 32, 64, 128, 256),
                  time_buckets=(16, 32, 48, 64),
                  batch_buckets: Optional[Tuple[int, ...]] = None,
-                 feat_int8: bool = False):
+                 feat_int8: bool = False, beam_fn=None):
         import jax
 
         self.params = params
@@ -94,6 +94,12 @@ class Responder:
         n_avail = len(jax.devices())
         n_use = max(n for n in range(1, n_avail + 1)
                     if all(b % n == 0 for b in self.batch_buckets))
+        if beam_fn is not None:
+            # AOT bundle programs are exported against single-device avals;
+            # multi-chip serving of a bundle would need sharded-export
+            # artifacts — run one chip per Responder instead (scale out with
+            # one process per chip behind the load balancer).
+            n_use = 1
         import logging
 
         log = logging.getLogger(__name__)
@@ -107,7 +113,11 @@ class Responder:
                 n_use, n_avail, self.batch_buckets, n_avail)
         self._dp = DataParallel(num_devices=n_use)
         self.params = self._dp.put_replicated(params)
-        self._beam = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
+        # beam_fn override: an AOT-exported program dispatcher
+        # (bist_tpu.export.Bundle.beam_fn) replaces the jit — the bundle
+        # path never traces the model on the serving host.
+        self._beam = beam_fn if beam_fn is not None \
+            else jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
 
     def tokenize(self, text: str) -> np.ndarray:
         return words2ids(text, self.vocab)

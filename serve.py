@@ -26,8 +26,20 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--model", required=True)
+    p.add_argument("--model", default="",
+                   help="model prefix (required unless --bundle)")
     p.add_argument("--model-conf", default="")
+    p.add_argument("--bundle", default="",
+                   help="serve from an AOT bundle directory "
+                        "(bist_tpu.export): weights + vocab + serialized "
+                        "decode programs; no model tracing on this host")
+    p.add_argument("--export-bundle", default="",
+                   help="write an AOT bundle for the serving geometry to "
+                        "this directory and exit (load it with --bundle)")
+    p.add_argument("--export-platforms", default="",
+                   help="comma-separated lowering targets for "
+                        "--export-bundle (e.g. cpu,tpu); default: current "
+                        "backend only")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--max-batch", type=int, default=64)
@@ -71,19 +83,53 @@ def main(argv=None):
     from bist_tpu.serving import DynamicBatcher, Responder
     from bist_tpu.train.checkpoint import load_checkpoint
 
-    conf = args.model_conf or (args.model + ".conf")
-    vocab, cfg, tcfg, _ = load_conf(conf)
-    ckpt = args.model + "_best" if os.path.isdir(args.model + "_best") \
-        else args.model
-    payload = load_checkpoint(ckpt)
-    params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+    if args.bundle:
+        # AOT path: deserialize the exported decode programs — no model
+        # tracing, no jit warmup on this host (bist_tpu/export.py)
+        from bist_tpu.export import load_bundle
 
-    gcfg = GenerateConfig(maxlen=args.maxlen, beam=args.beam,
-                          penalty=args.penalty, nbest=1,
-                          cache_dtype=args.cache_dtype,
-                          scan_unroll=args.scan_unroll)
-    responder = Responder(params, cfg, vocab, gcfg, max_batch=args.max_batch,
-                          feat_int8=bool(args.feat_int8))
+        bundle = load_bundle(args.bundle)
+        vocab, cfg = bundle.vocab, bundle.cfg
+        responder = bundle.make_responder()
+        logging.info("bundle loaded: %d program(s), geometries %s",
+                     len(bundle.programs), sorted(bundle.geometries))
+    else:
+        if not args.model:
+            p.error("--model is required unless --bundle is given")
+        conf = args.model_conf or (args.model + ".conf")
+        vocab, cfg, tcfg, _ = load_conf(conf)
+        ckpt = args.model + "_best" if os.path.isdir(args.model + "_best") \
+            else args.model
+        payload = load_checkpoint(ckpt)
+        params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+
+        gcfg = GenerateConfig(maxlen=args.maxlen, beam=args.beam,
+                              penalty=args.penalty, nbest=1,
+                              cache_dtype=args.cache_dtype,
+                              scan_unroll=args.scan_unroll)
+        if args.export_bundle:
+            from bist_tpu.export import (default_serving_geometries,
+                                         save_bundle)
+
+            responder = Responder(params, cfg, vocab, gcfg,
+                                  max_batch=args.max_batch,
+                                  feat_int8=bool(args.feat_int8))
+            geoms = default_serving_geometries(
+                cfg, batch_buckets=responder.batch_buckets,
+                Lq=responder.len_buckets[0], Lh=responder.len_buckets[0],
+                Lc=responder.len_buckets[0],
+                T=responder.time_buckets[0], S=16,
+                feat_int8=bool(args.feat_int8))
+            platforms = tuple(args.export_platforms.split(",")) \
+                if args.export_platforms else None
+            save_bundle(args.export_bundle, params, cfg, gcfg, vocab,
+                        geoms, platforms=platforms)
+            logging.info("bundle written to %s (%d geometries)",
+                         args.export_bundle, len(geoms))
+            return
+        responder = Responder(params, cfg, vocab, gcfg,
+                              max_batch=args.max_batch,
+                              feat_int8=bool(args.feat_int8))
     logging.info("warmup compile...")
     responder.warmup(all_batch_buckets=True)
     server_b = DynamicBatcher(responder, max_batch=args.max_batch,
