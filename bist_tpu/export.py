@@ -193,13 +193,21 @@ def save_bundle(path: str, params, cfg: ModelConfig, gcfg: GenerateConfig,
     import jax
     from jax import export as jexport
 
-    from bist_tpu.decode.beam import beam_search
+    from bist_tpu.decode.beam import beam_search, greedy_decode
 
     os.makedirs(os.path.join(path, "programs"), exist_ok=True)
     param_avals = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params)
 
-    fn = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
+    if gcfg.decode_style == "greedy":
+        fn = jax.jit(lambda p, b: greedy_decode(
+            p, cfg, b, gcfg.maxlen, cache_dtype=gcfg.cache_dtype,
+            unroll=gcfg.scan_unroll))
+    elif gcfg.decode_style == "beam_search":
+        fn = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
+    else:
+        raise ValueError(f"bundles support decode_style 'beam_search' or "
+                         f"'greedy', not {gcfg.decode_style!r}")
     kw = {}
     if platforms is not None:
         kw["platforms"] = tuple(platforms)
@@ -241,12 +249,15 @@ class Bundle:
     geometries: Dict[str, Dict[str, Any]]
 
     def beam_fn(self):
-        """(params, batch) -> BeamResult, dispatching on the batch's exact
-        shapes.  Raises KeyError for a geometry the bundle doesn't carry
-        (a bundle host must never silently re-trace)."""
+        """(params, batch) -> BeamResult (beam bundles) or (B, maxlen) ids
+        (greedy bundles), dispatching on the batch's exact shapes.  Raises
+        KeyError for a geometry the bundle doesn't carry (a bundle host
+        must never silently re-trace)."""
         from bist_tpu.decode.beam import BeamResult
 
-        def call(params, batch: Batch) -> BeamResult:
+        greedy = self.gcfg.decode_style == "greedy"
+
+        def call(params, batch: Batch):
             key = geometry_key(geometry_of(batch))
             if key not in self.programs:
                 raise KeyError(
@@ -254,7 +265,7 @@ class Bundle:
                     f"{sorted(self.programs)} — re-export with this "
                     f"geometry in `geometries`")
             out = self.programs[key].call(params, batch)
-            return BeamResult(*out)
+            return out if greedy else BeamResult(*out)
 
         return call
 

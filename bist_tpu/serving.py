@@ -116,8 +116,25 @@ class Responder:
         # beam_fn override: an AOT-exported program dispatcher
         # (bist_tpu.export.Bundle.beam_fn) replaces the jit — the bundle
         # path never traces the model on the serving host.
-        self._beam = beam_fn if beam_fn is not None \
-            else jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
+        self._style = gcfg.decode_style
+        if beam_fn is not None:
+            self._beam = beam_fn
+        elif self._style == "beam_search":
+            self._beam = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
+        elif self._style == "greedy":
+            # latency play: one hypothesis row per request instead of
+            # beam·K rows — the per-step decode cost drops ~K× at the same
+            # geometry (same cached decode_step; generate.py greedy path)
+            from bist_tpu.decode.beam import greedy_decode
+
+            self._beam = jax.jit(lambda p, b: greedy_decode(
+                p, cfg, b, gcfg.maxlen, cache_dtype=gcfg.cache_dtype,
+                unroll=gcfg.scan_unroll))
+        else:
+            raise ValueError(
+                f"serving supports decode_style 'beam_search' or 'greedy', "
+                f"not {self._style!r} (sampling needs per-request RNG "
+                f"policy — use generate.py for offline sampling)")
 
     def tokenize(self, text: str) -> np.ndarray:
         return words2ids(text, self.vocab)
@@ -184,8 +201,18 @@ class Responder:
         import jax
 
         batch = self._dp.shard(self.make_batch(reqs))
-        result = jax.device_get(self._beam(self.params, batch))
-        result = BeamResult(*result)
+        out = jax.device_get(self._beam(self.params, batch))
+        if self._style == "greedy":
+            from bist_tpu.vocab import ids2words
+
+            ids = np.asarray(out)
+            for i, r in enumerate(reqs):
+                words = ids2words(ids[i], self.id2word)
+                r._nbest = [(words, 0.0)]
+                r._answer = " ".join(words)
+                r._event.set()
+            return
+        result = BeamResult(*out)
         for i, r in enumerate(reqs):
             hyps = extract_hyps(result, self.id2word, i, self.gcfg.nbest)
             r._nbest = hyps

@@ -49,6 +49,11 @@ def main(argv=None):
                         "(4x fewer host->device bytes, dequant on device) — "
                         "the serving analogue of train.py --feat-int8")
     p.add_argument("--beam", type=int, default=5)
+    p.add_argument("--decode-style", default="beam_search",
+                   choices=["beam_search", "greedy"],
+                   help="greedy serves one hypothesis row per request "
+                        "(~beam x lower per-step decode cost) at a quality "
+                        "cost; beam_search is the eval-parity default")
     p.add_argument("--cache-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="decode KV-cache storage; bf16 measured 1.68x beam "
@@ -106,7 +111,8 @@ def main(argv=None):
         gcfg = GenerateConfig(maxlen=args.maxlen, beam=args.beam,
                               penalty=args.penalty, nbest=1,
                               cache_dtype=args.cache_dtype,
-                              scan_unroll=args.scan_unroll)
+                              scan_unroll=args.scan_unroll,
+                              decode_style=args.decode_style)
         if args.export_bundle:
             from bist_tpu.export import (default_serving_geometries,
                                          save_bundle)

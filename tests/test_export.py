@@ -149,3 +149,42 @@ def test_geometry_key_of_batch(setup):
                                       Lc=8, T=4, S=4)[0]
     batch = concrete_batch(geom, cfg)
     assert geometry_key(geometry_of(batch)) == geometry_key(geom)
+
+
+def test_greedy_bundle(setup, tmp_path):
+    """Greedy-style bundles export greedy_decode; the loaded program returns
+    ids identical to the live jit greedy path, and the bundle Responder
+    serves through it."""
+    from bist_tpu.decode.beam import greedy_decode
+    from bist_tpu.serving import Request
+
+    vocab, cfg, params, _ = setup
+    gcfg = GenerateConfig(maxlen=4, decode_style="greedy")
+    geoms = default_serving_geometries(cfg, batch_buckets=(2,), Lq=8, Lh=8,
+                                       Lc=8, T=4, S=4)
+    save_bundle(str(tmp_path / "g"), params, cfg, gcfg, vocab, geoms)
+    bundle = load_bundle(str(tmp_path / "g"))
+    batch = concrete_batch(geoms[0], cfg)
+    aot = np.asarray(bundle.beam_fn()(bundle.params, batch))
+    live = np.asarray(jax.jit(lambda p, b: greedy_decode(p, cfg, b, 4))(
+        params, batch))
+    np.testing.assert_array_equal(aot, live)
+
+    responder = bundle.make_responder()
+    responder.warmup(feature_shape=(4, cfg.ft_sizes[0]), t_clips=4, lens=(8,))
+    rng = np.random.default_rng(0)
+    req = Request(question=responder.tokenize("what is he doing"),
+                  history=responder.tokenize("a man is walking"),
+                  caption=responder.tokenize("the dog"),
+                  features=rng.standard_normal((4, 4, 8)).astype(np.float32))
+    responder.respond([req])
+    assert isinstance(req._answer, str)
+
+
+def test_unsupported_style_bundle_raises(setup, tmp_path):
+    vocab, cfg, params, _ = setup
+    geoms = default_serving_geometries(cfg, batch_buckets=(2,), Lq=8, Lh=8,
+                                       Lc=8, T=4, S=4)
+    with pytest.raises(ValueError, match="decode_style"):
+        save_bundle(str(tmp_path / "x"), params, cfg,
+                    GenerateConfig(decode_style="oracle"), vocab, geoms)

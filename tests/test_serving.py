@@ -178,3 +178,49 @@ def test_step_timer():
     s = t.summary()
     assert s["steps"] == 2 and s["mean_s"] >= 0.01
     assert s["items_per_s"] > 0
+
+
+def test_greedy_decode_style(rng):
+    """decode_style='greedy' serves one hypothesis row per request through
+    the cached greedy_decode; answers must equal the offline greedy path."""
+    from bist_tpu.decode.beam import greedy_decode
+    from bist_tpu.serving import Request
+    from bist_tpu.vocab import ids2words, make_id2word
+
+    vocab = dict(SPECIALS)
+    for w in "a the man is walking what doing he".split():
+        vocab[w] = len(vocab)
+    cfg = ModelConfig(vocab_size=len(vocab), nb_blocks=1, nb_venc_blocks=1,
+                      nb_cenc_blocks=1, d_model=16, att_h=2, dropout=0.0,
+                      include_caption="summary", separate_caption=True,
+                      ft_sizes=(8,))
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    gcfg = GenerateConfig(maxlen=4, decode_style="greedy")
+    r = Responder(params, cfg, vocab, gcfg, max_batch=2,
+                  len_buckets=(8,), time_buckets=(8,))
+    reqs = [Request(question=r.tokenize("what is he doing"),
+                    history=r.tokenize("a man is walking"),
+                    caption=r.tokenize("the man"),
+                    features=rng.standard_normal((5, 4, 8)).astype(np.float32))
+            for _ in range(2)]
+    r.respond(reqs)
+    batch = r.make_batch(reqs)
+    ids = np.asarray(jax.jit(lambda p, b: greedy_decode(p, cfg, b, 4))(
+        params, batch))
+    id2word = make_id2word(vocab)
+    for i, req in enumerate(reqs):
+        assert req._answer == " ".join(ids2words(ids[i], id2word))
+        assert req._nbest == [(ids2words(ids[i], id2word), 0.0)]
+
+
+def test_unsupported_decode_style_raises():
+    vocab = dict(SPECIALS)
+    vocab["a"] = len(vocab)
+    cfg = ModelConfig(vocab_size=len(vocab), nb_blocks=1, nb_venc_blocks=1,
+                      nb_cenc_blocks=1, d_model=16, att_h=2, dropout=0.0,
+                      include_caption="summary", separate_caption=True,
+                      ft_sizes=(8,))
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="decode_style"):
+        Responder(params, cfg, vocab,
+                  GenerateConfig(decode_style="sample"), max_batch=2)
