@@ -48,6 +48,7 @@ class Request:
     _event: threading.Event = field(default_factory=threading.Event)
     _answer: Optional[str] = None
     _nbest: Optional[List[Tuple[List[str], float]]] = None
+    _error: Optional[BaseException] = None
 
 
 class Responder:
@@ -197,11 +198,21 @@ class Responder:
         return Batch(query=q, his=h, trg=dummy, trg_y=dummy, cap=cap,
                      fts=fts, audio_fts=audio, fts_scale=fts_scale)
 
-    def respond(self, reqs: List[Request]) -> None:
+    def dispatch(self, reqs: List[Request]):
+        """Assemble + ship the batch and ENQUEUE the decode; returns a
+        pending handle without waiting for the device.  jax dispatch is
+        async, so the H2D transfer and decode of this batch overlap the
+        in-flight computation of previously dispatched batches —
+        finish() the handles in dispatch order."""
+        batch = self._dp.shard(self.make_batch(reqs))
+        return self._beam(self.params, batch), reqs
+
+    def finish(self, pending) -> None:
+        """Block for a dispatch()ed batch's results and complete requests."""
         import jax
 
-        batch = self._dp.shard(self.make_batch(reqs))
-        out = jax.device_get(self._beam(self.params, batch))
+        fut, reqs = pending
+        out = jax.device_get(fut)
         if self._style == "greedy":
             from bist_tpu.vocab import ids2words
 
@@ -218,6 +229,9 @@ class Responder:
             r._nbest = hyps
             r._answer = " ".join(hyps[0][0]) if hyps else ""
             r._event.set()
+
+    def respond(self, reqs: List[Request]) -> None:
+        self.finish(self.dispatch(reqs))
 
     def warmup(self, feature_shape: Optional[Tuple[int, ...]] = None,
                lens=(16,), t_clips=16, all_batch_buckets: bool = True) -> None:
@@ -251,14 +265,21 @@ class DynamicBatcher:
     """Background thread coalescing requests into Responder batches."""
 
     def __init__(self, responder: Responder, max_batch: int = 64,
-                 max_wait_ms: float = 10.0):
+                 max_wait_ms: float = 10.0, pipeline_depth: int = 2):
         self.responder = responder
         self.max_batch = min(max_batch, responder.max_batch)
         self.max_wait = max_wait_ms / 1000.0
+        # Under backlog, keep up to `pipeline_depth` batches dispatched
+        # before blocking on the oldest: batch N+1's host assembly + H2D
+        # transfer overlaps batch N's decode (jax dispatch is async).  On
+        # this image's tunnel the request path is H2D-bound (BENCH.md), so
+        # the overlap is the throughput lever.  Sparse traffic (queue empty
+        # after dispatch) drains immediately — no added latency.
+        self.pipeline_depth = max(1, pipeline_depth)
         self._q: "queue.Queue[Request]" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
-        self.stats = {"requests": 0, "batches": 0}
+        self.stats = {"requests": 0, "batches": 0, "errors": 0}
 
     def start(self) -> None:
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -269,11 +290,29 @@ class DynamicBatcher:
         if self._thread:
             self._thread.join(timeout=5)
 
+    def _fail(self, reqs: List[Request], err: BaseException) -> None:
+        self.stats["errors"] += 1
+        for r in reqs:
+            r._error = err
+            r._event.set()
+
+    def _finish_one(self, inflight) -> None:
+        pending = inflight.popleft()
+        try:
+            self.responder.finish(pending)
+        except Exception as e:
+            self._fail(pending[1], e)
+
     def _loop(self) -> None:
+        from collections import deque
+
+        inflight: deque = deque()
         while not self._stop.is_set():
             try:
                 first = self._q.get(timeout=0.05)
             except queue.Empty:
+                while inflight:                 # idle: drain everything
+                    self._finish_one(inflight)
                 continue
             reqs = [first]
             deadline = time.time() + self.max_wait
@@ -285,15 +324,37 @@ class DynamicBatcher:
                     reqs.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            self.responder.respond(reqs)
+            try:
+                inflight.append(self.responder.dispatch(reqs))
+            except Exception as e:
+                # bad batch (geometry/feature errors) must not kill the
+                # batcher thread or hang its clients
+                self._fail(reqs, e)
             self.stats["requests"] += len(reqs)
             self.stats["batches"] += 1
+            # backlog: keep pipeline_depth batches in flight; sparse
+            # traffic: complete now (no latency added by pipelining)
+            while len(inflight) >= self.pipeline_depth \
+                    or (inflight and self._q.empty()):
+                self._finish_one(inflight)
+        while inflight:
+            self._finish_one(inflight)
 
     def submit(self, question: str, history: str = "",
                caption: Optional[str] = None,
                features: Optional[np.ndarray] = None,
                audio: Optional[np.ndarray] = None,
                timeout: float = 60.0) -> str:
+        # fail fast BEFORE queueing: a malformed request inside a coalesced
+        # batch would otherwise fail every neighbour in its group
+        cfg = self.responder.cfg
+        if cfg.has_video and features is None:
+            raise ValueError("model requires video features")
+        if cfg.has_audio and audio is None:
+            raise ValueError("model requires audio features")
+        if features is not None and np.ndim(features) != 3:
+            raise ValueError(f"features must be (T, S, Dv), got "
+                             f"shape {np.shape(features)}")
         r = Request(
             question=self.responder.tokenize(question),
             history=self.responder.tokenize(history) if history
@@ -304,4 +365,6 @@ class DynamicBatcher:
         self._q.put(r)
         if not r._event.wait(timeout):
             raise TimeoutError("response generation timed out")
+        if r._error is not None:
+            raise RuntimeError(f"batch failed: {r._error}") from r._error
         return r._answer

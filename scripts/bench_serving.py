@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--requests", type=int, default=128)
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="in-flight batches under backlog (1 = serial)")
     ap.add_argument("--t-clips", type=int, default=16)
     ap.add_argument("--feat-int8", type=int, default=0)
     ap.add_argument("--dv", type=int, default=2048)
@@ -59,7 +61,8 @@ def main():
     responder.warmup(feature_shape=(16, args.dv), t_clips=args.t_clips,
                      all_batch_buckets=True)
     server = DynamicBatcher(responder, max_batch=args.max_batch,
-                            max_wait_ms=args.max_wait_ms)
+                            max_wait_ms=args.max_wait_ms,
+                            pipeline_depth=args.pipeline_depth)
     server.start()
 
     rng = np.random.default_rng(0)

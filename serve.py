@@ -44,6 +44,10 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--max-wait-ms", type=float, default=10.0)
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="batches kept in flight under backlog: batch N+1's "
+                        "host assembly + H2D overlaps batch N's decode; 1 "
+                        "restores strictly serial dispatch")
     p.add_argument("--feat-int8", type=int, default=0,
                    help="quantize assembled feature grids to int8 host-side "
                         "(4x fewer host->device bytes, dequant on device) — "
@@ -139,7 +143,8 @@ def main(argv=None):
     logging.info("warmup compile...")
     responder.warmup(all_batch_buckets=True)
     server_b = DynamicBatcher(responder, max_batch=args.max_batch,
-                              max_wait_ms=args.max_wait_ms)
+                              max_wait_ms=args.max_wait_ms,
+                              pipeline_depth=args.pipeline_depth)
     server_b.start()
 
     httpd = make_http_server(args.host, args.port, server_b,

@@ -224,3 +224,78 @@ def test_unsupported_decode_style_raises():
     with pytest.raises(ValueError, match="decode_style"):
         Responder(params, cfg, vocab,
                   GenerateConfig(decode_style="sample"), max_batch=2)
+
+
+def test_pipelined_batcher_under_backlog(served, rng):
+    """pipeline_depth=2: dispatch of batch N+1 overlaps decode of batch N.
+    Correctness contract: every request completes with the same answer the
+    synchronous path gives (same compiled program, same rows)."""
+    from bist_tpu.serving import DynamicBatcher, Request
+
+    responder = served.responder
+    pipelined = DynamicBatcher(responder, max_batch=2, max_wait_ms=5,
+                               pipeline_depth=2)
+    pipelined.start()
+    try:
+        answers = {}
+        errs = []
+
+        def worker(i):
+            try:
+                fts = (np.zeros((4, 4, 8), np.float32) + i % 3)
+                answers[i] = pipelined.submit(
+                    "what is he doing", history="a man is walking",
+                    caption="the dog", features=fts)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errs and len(answers) == 10
+        assert pipelined.stats["batches"] >= 5    # max_batch=2 over 10 reqs
+        assert pipelined.stats["errors"] == 0
+        # determinism cross-check: a direct synchronous respond() of one of
+        # the same rows yields the same answer
+        req = Request(question=responder.tokenize("what is he doing"),
+                      history=responder.tokenize("a man is walking"),
+                      caption=responder.tokenize("the dog"),
+                      features=np.zeros((4, 4, 8), np.float32))
+        responder.respond([req])
+        assert answers[0] == req._answer   # i%3==0 row
+    finally:
+        pipelined.stop()
+
+
+def test_batch_error_propagates_and_thread_survives(served, rng):
+    """Malformed requests fail fast at submit() (before they can poison a
+    coalesced batch); a request that still breaks batch ASSEMBLY fails its
+    own callers without hanging or killing the batcher thread, and
+    subsequent good requests work."""
+    from bist_tpu.serving import Request
+
+    # layer 1: submit-time validation (never reaches the queue)
+    with pytest.raises(ValueError, match="requires video features"):
+        served.submit("what is he doing", features=None, timeout=60)
+    with pytest.raises(ValueError, match=r"\(T, S, Dv\)"):
+        served.submit("what is he doing",
+                      features=np.zeros((4, 8), np.float32), timeout=60)
+
+    # layer 2: a Request that breaks make_batch in the batcher thread
+    # (injected directly — bypasses submit validation)
+    bad = Request(question=served.responder.tokenize("what"),
+                  history=np.array([0], np.int32), caption=None,
+                  features=np.zeros((4, 4), np.float32))  # wrong rank
+    served._q.put(bad)
+    assert bad._event.wait(60)
+    assert bad._error is not None
+    assert served.stats["errors"] >= 1
+
+    # the thread survived: a good request still completes
+    fts = rng.standard_normal((5, 4, 8)).astype(np.float32)
+    ans = served.submit("what is he doing", history="a man is walking",
+                        caption="the dog", features=fts)
+    assert isinstance(ans, str)
