@@ -280,6 +280,36 @@ class DynamicBatcher:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {"requests": 0, "batches": 0, "errors": 0}
+        # bounded reservoir of recent request latencies (seconds) for the
+        # /metrics endpoint; lock-free append is fine under the GIL
+        self._lat: List[float] = []
+        self._lat_cap = 4096
+
+    def _record_latency(self, seconds: float) -> None:
+        if len(self._lat) >= self._lat_cap:
+            del self._lat[: self._lat_cap // 2]
+        self._lat.append(seconds)
+
+    def metrics(self) -> Dict[str, object]:
+        """Operational snapshot: counters, queue depth, latency percentiles
+        over the last ≤4096 completed requests (serve.py GET /metrics)."""
+        lat = sorted(self._lat)
+
+        def pct(q: float) -> Optional[float]:
+            if not lat:
+                return None
+            return lat[min(int(q * len(lat)), len(lat) - 1)] * 1e3
+
+        n_req = max(self.stats["requests"], 1)
+        return {
+            **self.stats,
+            "queue_depth": self._q.qsize(),
+            "mean_batch_rows": self.stats["requests"]
+            / max(self.stats["batches"], 1),
+            "latency_ms": {"p50": pct(0.50), "p90": pct(0.90),
+                           "p99": pct(0.99), "count": len(lat)},
+            "error_rate": self.stats["errors"] / n_req,
+        }
 
     def start(self) -> None:
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -362,9 +392,11 @@ class DynamicBatcher:
             caption=self.responder.tokenize(caption) if caption is not None
             else None,
             features=features, audio=audio)
+        t0 = time.time()
         self._q.put(r)
         if not r._event.wait(timeout):
             raise TimeoutError("response generation timed out")
+        self._record_latency(time.time() - t0)
         if r._error is not None:
             raise RuntimeError(f"batch failed: {r._error}") from r._error
         return r._answer

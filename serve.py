@@ -174,6 +174,8 @@ def make_http_server(host, port, server_b, *, requires_features=False):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"ok": True, "stats": server_b.stats})
+            elif self.path == "/metrics":
+                self._send(200, server_b.metrics())
             else:
                 self._send(404, {"error": "not found"})
 

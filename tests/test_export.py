@@ -188,3 +188,56 @@ def test_unsupported_style_bundle_raises(setup, tmp_path):
     with pytest.raises(ValueError, match="decode_style"):
         save_bundle(str(tmp_path / "x"), params, cfg,
                     GenerateConfig(decode_style="oracle"), vocab, geoms)
+
+
+def test_multiplatform_export(setup, tmp_path):
+    """platforms=('cpu','tpu') bakes both lowerings into one artifact —
+    lowering is host-side, so the TPU variant builds without TPU hardware,
+    and the CPU variant still runs here bit-identically."""
+    from bist_tpu.decode.beam import beam_search
+
+    vocab, cfg, params, gcfg = setup
+    geoms = default_serving_geometries(cfg, batch_buckets=(2,), Lq=8, Lh=8,
+                                       Lc=8, T=4, S=4)
+    save_bundle(str(tmp_path / "mp"), params, cfg, gcfg, vocab, geoms,
+                platforms=("cpu", "tpu"))
+    bundle = load_bundle(str(tmp_path / "mp"))
+    exp = next(iter(bundle.programs.values()))
+    assert set(exp.platforms) == {"cpu", "tpu"}
+    batch = concrete_batch(geoms[0], cfg)
+    aot = bundle.beam_fn()(bundle.params, batch)
+    live = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))(params, batch)
+    np.testing.assert_array_equal(np.asarray(live.tokens),
+                                  np.asarray(aot.tokens))
+
+
+def test_serve_cli_export_bundle(setup, tmp_path):
+    """serve.py --export-bundle end to end at the CLI surface: checkpoint +
+    .conf on disk -> bundle directory with loadable programs."""
+    import os
+    import sys
+
+    from bist_tpu.config import TrainConfig, save_conf
+    from bist_tpu.train.checkpoint import save_checkpoint
+
+    vocab, cfg, params, _ = setup
+
+    class S:
+        pass
+
+    s = S()
+    s.params, s.opt_state, s.step = params, (), 0
+    prefix = str(tmp_path / "m")
+    save_checkpoint(prefix + "_best", s, epoch=0)
+    save_conf(prefix + ".conf", vocab, cfg, TrainConfig())
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from serve import main as serve_main
+
+    out = str(tmp_path / "bundle")
+    serve_main(["--model", prefix, "--export-bundle", out,
+                "--max-batch", "2", "--maxlen", "4", "--beam", "2",
+                "--scan-unroll", "1", "--device", "cpu"])
+    bundle = load_bundle(out)
+    assert bundle.programs and bundle.vocab == vocab

@@ -299,3 +299,41 @@ def test_batch_error_propagates_and_thread_survives(served, rng):
     ans = served.submit("what is he doing", history="a man is walking",
                         caption="the dog", features=fts)
     assert isinstance(ans, str)
+
+
+def test_metrics_endpoint(served, rng):
+    """DynamicBatcher.metrics(): latency percentiles over completed
+    requests, queue depth, mean batch rows — and the serve.py GET /metrics
+    route exposes it."""
+    fts = rng.standard_normal((5, 4, 8)).astype(np.float32)
+    for _ in range(3):
+        served.submit("what is he doing", history="a man is walking",
+                      caption="the man", features=fts)
+    m = served.metrics()
+    assert m["requests"] >= 3 and m["batches"] >= 1
+    assert m["latency_ms"]["count"] >= 3
+    assert m["latency_ms"]["p50"] > 0 and m["latency_ms"]["p99"] > 0
+    assert m["latency_ms"]["p50"] <= m["latency_ms"]["p99"]
+    assert m["mean_batch_rows"] >= 1 and m["queue_depth"] == 0
+
+    import json as _json
+    import os
+    import sys
+    import threading as _threading
+    import urllib.request
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from serve import make_http_server
+
+    httpd = make_http_server("127.0.0.1", 0, served, requires_features=True)
+    t = _threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/metrics"
+        with urllib.request.urlopen(url, timeout=30) as r:
+            remote = _json.load(r)
+        assert remote["latency_ms"]["count"] == m["latency_ms"]["count"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
