@@ -130,25 +130,31 @@ def geometry_key(geom: Dict[str, Any]) -> str:
     return "_".join(f"{k}{int(v)}" for k, v in sorted(geom.items()))
 
 
-def abstract_batch(geom: Dict[str, Any], cfg: ModelConfig) -> Batch:
-    """Batch of ShapeDtypeStructs for export-time abstract evaluation."""
+def abstract_batch(geom: Dict[str, Any], cfg: ModelConfig,
+                   sharding=None) -> Batch:
+    """Batch of ShapeDtypeStructs for export-time abstract evaluation.
+    `sharding` (optional NamedSharding, batch-row axis) is attached to every
+    array so the exported program carries the data-parallel layout."""
     import jax
     import jax.numpy as jnp
 
+    def aval(shape, dtype):
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+
     def tok(b, l):
-        return jax.ShapeDtypeStruct((b, l), jnp.int32)
+        return aval((b, l), jnp.int32)
 
     B = geom["B"]
     fts = scale = audio = None
     if cfg.has_video:
         shape = (B, geom["T"], geom["S"], geom["Dv"])
         if geom.get("int8"):
-            fts = jax.ShapeDtypeStruct(shape, jnp.int8)
-            scale = jax.ShapeDtypeStruct(shape[:3] + (1,), jnp.float32)
+            fts = aval(shape, jnp.int8)
+            scale = aval(shape[:3] + (1,), jnp.float32)
         else:
-            fts = jax.ShapeDtypeStruct(shape, jnp.float32)
+            fts = aval(shape, jnp.float32)
     if cfg.has_audio:
-        audio = jax.ShapeDtypeStruct((B, geom["Ta"], geom["Da"]), jnp.float32)
+        audio = aval((B, geom["Ta"], geom["Da"]), jnp.float32)
     return Batch(
         query=tok(B, geom["Lq"]), his=tok(B, geom["Lh"]),
         trg=tok(B, geom["Lt"]), trg_y=tok(B, geom["Lt"]),
@@ -184,20 +190,42 @@ def default_serving_geometries(
 def save_bundle(path: str, params, cfg: ModelConfig, gcfg: GenerateConfig,
                 vocab: Dict[str, int],
                 geometries: Sequence[Dict[str, Any]],
-                platforms: Optional[Sequence[str]] = None) -> Dict[str, str]:
+                platforms: Optional[Sequence[str]] = None,
+                dp: int = 1) -> Dict[str, str]:
     """Export one beam-search program per geometry and write the bundle.
 
     `platforms`: lowering targets baked into the artifacts (default: the
     current backend only).  Pass ("cpu", "tpu") to build one bundle that a
-    CPU canary and the TPU fleet both load.  Returns {key: program path}."""
+    CPU canary and the TPU fleet both load.  Returns {key: program path}.
+
+    `dp` > 1 exports DATA-PARALLEL programs: batch rows sharded over a
+    dp-device ('data',) mesh, params replicated — the exact DataParallel
+    layout serving uses (parallel/mesh.py), so a dp-chip host serves the
+    bundle with XLA-inserted collectives and no tracing.  Export needs ≥ dp
+    devices visible (the CPU 8-device mesh works — the artifact is
+    device-count-, not device-identity-, bound)."""
     import jax
     from jax import export as jexport
 
     from bist_tpu.decode.beam import beam_search, greedy_decode
 
     os.makedirs(os.path.join(path, "programs"), exist_ok=True)
+    rep_sh = row_sh = None
+    if dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from bist_tpu.parallel.mesh import make_mesh
+
+        bad = [g for g in geometries if g["B"] % dp]
+        if bad:
+            raise ValueError(f"geometry batch sizes {[g['B'] for g in bad]} "
+                             f"not divisible by dp={dp}")
+        mesh = make_mesh(dp)
+        rep_sh = NamedSharding(mesh, PartitionSpec())
+        row_sh = NamedSharding(mesh, PartitionSpec("data"))
     param_avals = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params)
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype,
+                                       sharding=rep_sh), params)
 
     if gcfg.decode_style == "greedy":
         fn = jax.jit(lambda p, b: greedy_decode(
@@ -215,7 +243,8 @@ def save_bundle(path: str, params, cfg: ModelConfig, gcfg: GenerateConfig,
     written: Dict[str, str] = {}
     for geom in geometries:
         key = geometry_key(geom)
-        exp = jexport.export(fn, **kw)(param_avals, abstract_batch(geom, cfg))
+        exp = jexport.export(fn, **kw)(
+            param_avals, abstract_batch(geom, cfg, sharding=row_sh))
         prog_path = os.path.join(path, "programs", key + ".bin")
         with open(prog_path, "wb") as f:
             f.write(exp.serialize())
@@ -231,6 +260,7 @@ def save_bundle(path: str, params, cfg: ModelConfig, gcfg: GenerateConfig,
             "model": config_to_dict(cfg),
             "generate": config_to_dict(gcfg),
             "geometries": table,
+            "dp": dp,
             "jax_version": jax.__version__,
             "platforms": list(platforms) if platforms else None,
         }, f, indent=1)
@@ -247,6 +277,7 @@ class Bundle:
     params: Any
     programs: Dict[str, Any]            # key -> jax.export.Exported
     geometries: Dict[str, Dict[str, Any]]
+    dp: int = 1                         # data-parallel width baked at export
 
     def beam_fn(self):
         """(params, batch) -> BeamResult (beam bundles) or (B, maxlen) ids
@@ -287,6 +318,7 @@ class Bundle:
                       tuple(sorted({g["T"] for g in geoms if "T" in g})))
         kw.setdefault("feat_int8",
                       any(g.get("int8") for g in geoms))
+        kw.setdefault("beam_fn_devices", self.dp)
         return Responder(self.params, self.cfg, self.vocab, self.gcfg,
                          beam_fn=self.beam_fn(), **kw)
 
@@ -309,4 +341,5 @@ def load_bundle(path: str) -> Bundle:
         with open(os.path.join(path, "programs", key + ".bin"), "rb") as f:
             programs[key] = jexport.deserialize(f.read())
     return Bundle(cfg=cfg, gcfg=gcfg, vocab=vocab, params=params,
-                  programs=programs, geometries=meta["geometries"])
+                  programs=programs, geometries=meta["geometries"],
+                  dp=int(meta.get("dp", 1)))

@@ -59,7 +59,8 @@ class Responder:
                  len_buckets=(16, 32, 64, 128, 256),
                  time_buckets=(16, 32, 48, 64),
                  batch_buckets: Optional[Tuple[int, ...]] = None,
-                 feat_int8: bool = False, beam_fn=None):
+                 feat_int8: bool = False, beam_fn=None,
+                 beam_fn_devices: int = 1):
         import jax
 
         self.params = params
@@ -96,11 +97,12 @@ class Responder:
         n_use = max(n for n in range(1, n_avail + 1)
                     if all(b % n == 0 for b in self.batch_buckets))
         if beam_fn is not None:
-            # AOT bundle programs are exported against single-device avals;
-            # multi-chip serving of a bundle would need sharded-export
-            # artifacts — run one chip per Responder instead (scale out with
-            # one process per chip behind the load balancer).
-            n_use = 1
+            # AOT bundle programs bake their device layout at export:
+            # beam_fn_devices = the bundle's dp width (1 = single-chip
+            # artifact; >1 = rows sharded over a ('data',) mesh exactly as
+            # DataParallel lays them out).  export.Bundle.make_responder
+            # passes it through.
+            n_use = beam_fn_devices
         import logging
 
         log = logging.getLogger(__name__)

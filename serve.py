@@ -40,6 +40,12 @@ def main(argv=None):
                    help="comma-separated lowering targets for "
                         "--export-bundle (e.g. cpu,tpu); default: current "
                         "backend only")
+    p.add_argument("--export-dp", type=int, default=1,
+                   help="data-parallel width baked into --export-bundle "
+                        "programs (batch rows sharded over a dp-chip mesh, "
+                        "params replicated); the serving host must have dp "
+                        "devices.  Requires every batch bucket divisible "
+                        "by dp")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--max-batch", type=int, default=64)
@@ -133,7 +139,7 @@ def main(argv=None):
             platforms = tuple(args.export_platforms.split(",")) \
                 if args.export_platforms else None
             save_bundle(args.export_bundle, params, cfg, gcfg, vocab,
-                        geoms, platforms=platforms)
+                        geoms, platforms=platforms, dp=args.export_dp)
             logging.info("bundle written to %s (%d geometries)",
                          args.export_bundle, len(geoms))
             return

@@ -241,3 +241,51 @@ def test_serve_cli_export_bundle(setup, tmp_path):
                 "--scan-unroll", "1", "--device", "cpu"])
     bundle = load_bundle(out)
     assert bundle.programs and bundle.vocab == vocab
+
+
+def test_dp_sharded_bundle(setup, tmp_path):
+    """dp=2 bundles bake the DataParallel layout (rows on a ('data',) mesh,
+    params replicated): results equal the single-device jit bitwise, and
+    the bundle Responder serves over 2 devices."""
+    from bist_tpu.decode.beam import beam_search
+    from bist_tpu.serving import Request
+
+    vocab, cfg, params, gcfg = setup
+    geoms = default_serving_geometries(cfg, batch_buckets=(2, 4), Lq=8,
+                                       Lh=8, Lc=8, T=4, S=4)
+    save_bundle(str(tmp_path / "dp"), params, cfg, gcfg, vocab, geoms, dp=2)
+    bundle = load_bundle(str(tmp_path / "dp"))
+    assert bundle.dp == 2
+
+    responder = bundle.make_responder()
+    assert responder._dp.n == 2
+    # direct sharded call: place inputs the DataParallel way
+    batch = responder._dp.shard(concrete_batch(geoms[0], cfg))
+    rparams = responder.params       # replicated over the 2-device mesh
+    aot = bundle.beam_fn()(rparams, batch)
+    live = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))(
+        params, concrete_batch(geoms[0], cfg))
+    np.testing.assert_array_equal(np.asarray(live.tokens),
+                                  np.asarray(aot.tokens))
+    np.testing.assert_array_equal(np.asarray(live.scores),
+                                  np.asarray(aot.scores))
+
+    # end to end through the Responder (pad + shard + dispatch + detok)
+    responder.warmup(feature_shape=(4, cfg.ft_sizes[0]), t_clips=4, lens=(8,))
+    rng = np.random.default_rng(0)
+    reqs = [Request(question=responder.tokenize("what is he doing"),
+                    history=responder.tokenize("a man is walking"),
+                    caption=responder.tokenize("the dog"),
+                    features=rng.standard_normal((4, 4, 8)).astype(np.float32))
+            for _ in range(3)]
+    responder.respond(reqs)
+    assert all(isinstance(r._answer, str) for r in reqs)
+
+
+def test_dp_bundle_rejects_odd_buckets(setup, tmp_path):
+    vocab, cfg, params, gcfg = setup
+    geoms = default_serving_geometries(cfg, batch_buckets=(3,), Lq=8, Lh=8,
+                                       Lc=8, T=4, S=4)
+    with pytest.raises(ValueError, match="not divisible by dp"):
+        save_bundle(str(tmp_path / "x"), params, cfg, gcfg, vocab, geoms,
+                    dp=2)
