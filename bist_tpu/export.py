@@ -1,7 +1,9 @@
 """AOT serving bundles: jax.export-serialized beam-search programs.
 
-The reference deploys by shipping Python + torch and re-tracing the model at
-import (generate.py rebuilds the nn.Module from the pickled .conf).  A
+The reference deploys by shipping Python + torch and re-building the model
+at import (reference generate.py:89-93 unpickles (vocab, train_args) from
+the .conf and torch.load()s the whole nn.Module — the serving host must
+carry the exact training-time class definitions).  A
 TPU-native framework can do better: serialize the LOWERED StableHLO decode
 program once per serving geometry (jax.export), write it beside the weights
 and vocab, and serve from the bundle — the serving host deserializes the
@@ -220,6 +222,11 @@ def save_bundle(path: str, params, cfg: ModelConfig, gcfg: GenerateConfig,
         if bad:
             raise ValueError(f"geometry batch sizes {[g['B'] for g in bad]} "
                              f"not divisible by dp={dp}")
+        if len(jax.devices()) < dp:
+            raise ValueError(
+                f"dp={dp} export needs {dp} visible devices, have "
+                f"{len(jax.devices())} (export on a CPU host with "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={dp})")
         mesh = make_mesh(dp)
         rep_sh = NamedSharding(mesh, PartitionSpec())
         row_sh = NamedSharding(mesh, PartitionSpec("data"))
