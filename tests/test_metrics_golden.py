@@ -1,6 +1,7 @@
 """Metric-stack regression against the committed DSTC7 golden fixtures
-(reference dstc7avsd_eval/sample/*.{json,eval} — the reference repo's own
-regression oracle, SURVEY.md §4.2).
+(vendored from reference dstc7avsd_eval/sample/*.{json,eval} — the reference
+repo's own regression oracle, SURVEY.md §4.2; data files, mirrored like
+dstc7avsd_eval/data/).
 
 Asserts: BLEU-1..4 / ROUGE-L / CIDEr equal the golden to 3 decimals at corpus
 level, BLEU-4 and ROUGE-L bit-exact per image; METEOR within the documented
@@ -13,11 +14,9 @@ import re
 
 import pytest
 
-REF = "/root/reference/dstc7avsd_eval"
+REF = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "dstc7avsd_eval")
 FIXTURES = ["baseline_i3d_rgb-i3d_flow", "baseline_i3d_rgb-i3d_flow-vggish"]
-
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference eval fixtures not available")
 
 
 def load_golden(name):
