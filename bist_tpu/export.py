@@ -167,21 +167,41 @@ def abstract_batch(geom: Dict[str, Any], cfg: ModelConfig,
 def default_serving_geometries(
         cfg: ModelConfig,
         batch_buckets: Sequence[int] = (8, 16, 32, 64),
-        Lq: int = 16, Lh: int = 16, Lc: int = 16, Lt: int = 1,
-        T: int = 16, S: int = 16,
+        Lq=16, Lh=16, Lc=16, Lt: int = 1,
+        T=16, S: int = 16, Ta=None,
         feat_int8: bool = False) -> List[Dict[str, Any]]:
-    """One geometry per serving batch bucket at the given length buckets —
-    the same shapes Responder.warmup() compiles (serving.py)."""
+    """Geometries covering the serving bucket space.
+
+    Lq / Lh / Lc / T accept an int (one bucket, round-3 behaviour) or a
+    sequence of buckets; the result is the CROSS PRODUCT over batch_buckets
+    × Lq × Lh × Lc × T — exactly the shape space Responder.make_batch can
+    produce when its per-field buckets are set to these values
+    (Bundle.make_responder derives them back from the geometry table), so a
+    bundle-served host never hits a geometry KeyError.  Ta (audio frames)
+    defaults to tracking T; pass a single int to pad audio to one length
+    and keep the program count linear in T."""
+
+    def seq(v):
+        return tuple(v) if isinstance(v, (tuple, list)) else (v,)
+
     geoms = []
     for b in batch_buckets:
-        g: Dict[str, Any] = {"B": b, "Lq": Lq, "Lh": Lh, "Lt": Lt}
-        if cfg.has_caption:
-            g["Lc"] = Lc
-        if cfg.has_video:
-            g.update(T=T, S=S, Dv=cfg.ft_sizes[0], int8=feat_int8)
-        if cfg.has_audio:
-            g.update(Ta=T, Da=cfg.ft_sizes[1])
-        geoms.append(g)
+        for lq in seq(Lq):
+            for lh in seq(Lh):
+                for lc in (seq(Lc) if cfg.has_caption else (None,)):
+                    for t in (seq(T) if (cfg.has_video or cfg.has_audio)
+                              else (None,)):
+                        g: Dict[str, Any] = {"B": b, "Lq": lq, "Lh": lh,
+                                             "Lt": Lt}
+                        if cfg.has_caption:
+                            g["Lc"] = lc
+                        if cfg.has_video:
+                            g.update(T=t, S=S, Dv=cfg.ft_sizes[0],
+                                     int8=feat_int8)
+                        if cfg.has_audio:
+                            g.update(Ta=t if Ta is None else int(Ta),
+                                     Da=cfg.ft_sizes[1])
+                        geoms.append(g)
     return geoms
 
 
@@ -318,11 +338,23 @@ class Bundle:
         kw.setdefault("batch_buckets",
                       tuple(sorted({g["B"] for g in geoms})))
         kw.setdefault("max_batch", max(g["B"] for g in geoms))
-        kw.setdefault("len_buckets",
-                      tuple(sorted({g[k] for g in geoms
-                                    for k in ("Lq", "Lh", "Lc") if k in g})))
+        # PER-FIELD length buckets (serving.py dict form): a bundle may pad
+        # questions to 32 but histories to 256; deriving one shared bucket
+        # set would make make_batch produce shapes the table doesn't carry
+        kw.setdefault("len_buckets", {
+            "q": tuple(sorted({g["Lq"] for g in geoms})),
+            "h": tuple(sorted({g["Lh"] for g in geoms})),
+            "c": tuple(sorted({g["Lc"] for g in geoms if "Lc" in g})),
+        })
         kw.setdefault("time_buckets",
-                      tuple(sorted({g["T"] for g in geoms if "T" in g})))
+                      tuple(sorted({g["T"] for g in geoms if "T" in g}))
+                      or (16,))
+        kw.setdefault("audio_time_buckets",
+                      tuple(sorted({g["Ta"] for g in geoms if "Ta" in g}))
+                      or None)
+        vid = next((g for g in geoms if "T" in g), None)
+        if vid is not None:
+            kw.setdefault("feat_tail", (vid["S"], vid["Dv"]))
         kw.setdefault("feat_int8",
                       any(g.get("int8") for g in geoms))
         kw.setdefault("beam_fn_devices", self.dp)

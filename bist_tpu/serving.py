@@ -60,7 +60,9 @@ class Responder:
                  time_buckets=(16, 32, 48, 64),
                  batch_buckets: Optional[Tuple[int, ...]] = None,
                  feat_int8: bool = False, beam_fn=None,
-                 beam_fn_devices: int = 1):
+                 beam_fn_devices: int = 1,
+                 audio_time_buckets=None,
+                 feat_tail: Optional[Tuple[int, int]] = None):
         import jax
 
         self.params = params
@@ -71,8 +73,28 @@ class Responder:
         # max_batch default 64 = the measured decode-optimal batch on the
         # v5e (bench.py sweep, BENCH.md); was 32 in rounds ≤2.
         self.max_batch = max_batch
-        self.len_buckets = tuple(len_buckets)
+        # len_buckets: one shared tuple for question/history/caption, OR a
+        # {"q": ..., "h": ..., "c": ...} dict of per-field bucket sets.  The
+        # dict form exists for AOT bundles, whose geometry table carries
+        # per-field lengths (export.Bundle.make_responder) — e.g. questions
+        # bucketed at 32 while histories pad to 256.
+        if isinstance(len_buckets, dict):
+            self.q_buckets = tuple(sorted(len_buckets["q"]))
+            self.h_buckets = tuple(sorted(len_buckets["h"]))
+            self.c_buckets = tuple(sorted(len_buckets.get("c") or (16,)))
+            self.len_buckets = tuple(sorted(
+                {*self.q_buckets, *self.h_buckets, *self.c_buckets}))
+        else:
+            self.len_buckets = tuple(len_buckets)
+            self.q_buckets = self.h_buckets = self.c_buckets = \
+                self.len_buckets
         self.time_buckets = tuple(time_buckets)
+        self.audio_time_buckets = tuple(audio_time_buckets) \
+            if audio_time_buckets else self.time_buckets
+        # expected per-clip feature tail (S, Dv); set explicitly (bundles),
+        # or learned from warmup().  submit() validates requests against it
+        # so one malformed grid cannot fail its whole coalesced batch.
+        self.feat_tail = tuple(feat_tail) if feat_tail else None
         # queue-depth-aware batch geometry: each incoming group of requests
         # is padded to the SMALLEST compiled batch bucket that fits it, so a
         # lightly-loaded server does not pay full-max_batch decode latency
@@ -159,34 +181,35 @@ class Responder:
         n = self.batch_rows(len(reqs))
         dummy = np.full((n, 1), SOS, np.int32)
 
-        def tok(field_vals, default_len=1):
+        def tok(field_vals, buckets, default_len=1):
             L = bucket_len(max((len(v) for v in field_vals), default=default_len),
-                           self.len_buckets)
+                           buckets)
             arr = pad_to(list(field_vals), L)
             if len(field_vals) < n:
                 arr = np.concatenate(
                     [arr, np.full((n - len(field_vals), L), PAD, np.int32)])
             return arr
 
-        q = tok([r.question for r in reqs])
-        h = tok([r.history for r in reqs])
+        q = tok([r.question for r in reqs], self.q_buckets)
+        h = tok([r.history for r in reqs], self.h_buckets)
         cap = None
         if self.cfg.has_caption:
             cap = tok([r.caption if r.caption is not None
-                       else np.array([PAD], np.int32) for r in reqs])
+                       else np.array([PAD], np.int32) for r in reqs],
+                      self.c_buckets)
         fts = None
         if self.cfg.has_video:
             T = bucket_len(max(r.features.shape[0] for r in reqs),
                            self.time_buckets)
-            tail = reqs[0].features.shape[1:]
-            fts = np.zeros((n, T) + tail, np.float32)
+            tail = self.feat_tail or reqs[0].features.shape[1:]
+            fts = np.zeros((n, T) + tuple(tail), np.float32)
             for i, r in enumerate(reqs):
                 k = min(r.features.shape[0], T)
                 fts[i, :k] = r.features[:k]
         audio = None
         if self.cfg.has_audio:
             Ta = bucket_len(max(r.audio.shape[0] for r in reqs),
-                            self.time_buckets)
+                            self.audio_time_buckets)
             atail = reqs[0].audio.shape[1:]
             audio = np.zeros((n, Ta) + atail, np.float32)
             for i, r in enumerate(reqs):
@@ -244,6 +267,10 @@ class Responder:
         ("compiled at startup, never at serve time").  Pass
         all_batch_buckets=False to warm only the smallest bucket when
         startup latency matters more than first-burst latency."""
+
+        if self.cfg.has_video and self.feat_tail is None:
+            self.feat_tail = tuple(feature_shape
+                                   or (16, self.cfg.ft_sizes[0]))
 
         def mk():
             return Request(
@@ -323,7 +350,9 @@ class DynamicBatcher:
             self._thread.join(timeout=5)
 
     def _fail(self, reqs: List[Request], err: BaseException) -> None:
-        self.stats["errors"] += 1
+        # per-REQUEST error count so /metrics error_rate (errors / requests
+        # submitted) keeps consistent units when a whole batch fails
+        self.stats["errors"] += len(reqs)
         for r in reqs:
             r._error = err
             r._event.set()
@@ -379,21 +408,41 @@ class DynamicBatcher:
                timeout: float = 60.0) -> str:
         # fail fast BEFORE queueing: a malformed request inside a coalesced
         # batch would otherwise fail every neighbour in its group
-        cfg = self.responder.cfg
+        rsp = self.responder
+        cfg = rsp.cfg
         if cfg.has_video and features is None:
             raise ValueError("model requires video features")
         if cfg.has_audio and audio is None:
             raise ValueError("model requires audio features")
-        if features is not None and np.ndim(features) != 3:
-            raise ValueError(f"features must be (T, S, Dv), got "
-                             f"shape {np.shape(features)}")
-        r = Request(
-            question=self.responder.tokenize(question),
-            history=self.responder.tokenize(history) if history
-            else np.array([PAD], np.int32),
-            caption=self.responder.tokenize(caption) if caption is not None
-            else None,
-            features=features, audio=audio)
+        if features is not None:
+            if np.ndim(features) != 3:
+                raise ValueError(f"features must be (T, S, Dv), got "
+                                 f"shape {np.shape(features)}")
+            if rsp.feat_tail is not None \
+                    and tuple(features.shape[1:]) != rsp.feat_tail:
+                raise ValueError(
+                    f"features per-clip shape {tuple(features.shape[1:])} "
+                    f"!= served grid {rsp.feat_tail}")
+            elif rsp.feat_tail is None and cfg.ft_sizes \
+                    and features.shape[2] != cfg.ft_sizes[0]:
+                raise ValueError(f"feature dim {features.shape[2]} != "
+                                 f"model ft_size {cfg.ft_sizes[0]}")
+            # clamp to the largest compiled time bucket (head clips kept)
+            features = features[:rsp.time_buckets[-1]]
+        if audio is not None:
+            audio = audio[:rsp.audio_time_buckets[-1]]
+        # clamp tokenized fields to their largest compiled length bucket —
+        # question/caption keep the head, history keeps the most recent
+        # turns (the reference's own history policy, data_handler.py:79-85).
+        # Without this, an over-long field would bucket to a length the
+        # compiled-geometry (or AOT-bundle) table does not carry.
+        q_ids = rsp.tokenize(question)[: rsp.q_buckets[-1]]
+        h_ids = rsp.tokenize(history)[-rsp.h_buckets[-1]:] if history \
+            else np.array([PAD], np.int32)
+        c_ids = rsp.tokenize(caption)[: rsp.c_buckets[-1]] \
+            if caption is not None else None
+        r = Request(question=q_ids, history=h_ids, caption=c_ids,
+                    features=features, audio=audio)
         t0 = time.time()
         self._q.put(r)
         if not r._event.wait(timeout):

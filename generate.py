@@ -181,10 +181,18 @@ def main(argv=None):
     from bist_tpu.decode.sample import sample_decode
 
     sample_key = jax.random.PRNGKey(args.sample_seed)
-    sample_jit = jax.jit(lambda p, b: sample_decode(
-        p, cfg, b, gcfg.maxlen, sample_key, temperature=args.temperature,
+    sample_jit = jax.jit(lambda p, b, k: sample_decode(
+        p, cfg, b, gcfg.maxlen, k, temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p, cache_dtype=gcfg.cache_dtype,
         unroll=gcfg.scan_unroll))
+    # fold a batch counter into the key so rows of DIFFERENT batches draw
+    # independent categorical noise (sample_decode itself only folds in the
+    # step index); one compile, the key is a runtime argument
+    _sample_n = iter(range(1 << 30))
+
+    def sample_batch(p, b):
+        return sample_jit(p, b, jax.random.fold_in(sample_key,
+                                                   next(_sample_n)))
     if gcfg.decode_style == "oracle" and args.undisclosed_only:
         raise SystemExit("--decode-style oracle requires labeled targets; "
                          "run without --undisclosed-only")
@@ -232,7 +240,7 @@ def main(argv=None):
     pending = None
     for batch, meta in device_prefetch(iter(loader), prepare, size=2):
         step_jit = {"beam_search": beam_jit, "oracle": oracle_jit,
-                    "sample": sample_jit}.get(gcfg.decode_style, greedy_jit)
+                    "sample": sample_batch}.get(gcfg.decode_style, greedy_jit)
         fut = step_jit(params, batch)
         if pending is not None:
             drain(pending)

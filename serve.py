@@ -40,6 +40,20 @@ def main(argv=None):
                    help="comma-separated lowering targets for "
                         "--export-bundle (e.g. cpu,tpu); default: current "
                         "backend only")
+    p.add_argument("--export-lq", default="32",
+                   help="comma list of question length buckets baked into "
+                        "--export-bundle programs")
+    p.add_argument("--export-lh", default="64,256",
+                   help="comma list of history length buckets for "
+                        "--export-bundle (histories grow with dialogue "
+                        "turns; the largest is also the serve-time clamp)")
+    p.add_argument("--export-lc", default="64",
+                   help="comma list of caption length buckets for "
+                        "--export-bundle")
+    p.add_argument("--export-t", default="",
+                   help="comma list of video clip-count buckets for "
+                        "--export-bundle (default: the responder's time "
+                        "buckets)")
     p.add_argument("--export-dp", type=int, default=1,
                    help="data-parallel width baked into --export-bundle "
                         "programs (batch rows sharded over a dp-chip mesh, "
@@ -130,11 +144,19 @@ def main(argv=None):
             responder = Responder(params, cfg, vocab, gcfg,
                                   max_batch=args.max_batch,
                                   feat_int8=bool(args.feat_int8))
+            # cross product of batch buckets × per-field length buckets ×
+            # time buckets: the bundle must carry EVERY shape its serving
+            # host's batcher can produce (multi-turn histories routinely
+            # exceed one bucket; a missing geometry fails the whole batch)
+            def buckets(s):
+                return tuple(int(x) for x in s.split(",") if x)
+
+            t_buckets = buckets(args.export_t) or responder.time_buckets
             geoms = default_serving_geometries(
                 cfg, batch_buckets=responder.batch_buckets,
-                Lq=responder.len_buckets[0], Lh=responder.len_buckets[0],
-                Lc=responder.len_buckets[0],
-                T=responder.time_buckets[0], S=16,
+                Lq=buckets(args.export_lq), Lh=buckets(args.export_lh),
+                Lc=buckets(args.export_lc), T=t_buckets, S=16,
+                Ta=(t_buckets[-1] if cfg.has_audio else None),
                 feat_int8=bool(args.feat_int8))
             platforms = tuple(args.export_platforms.split(",")) \
                 if args.export_platforms else None

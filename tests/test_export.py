@@ -289,3 +289,52 @@ def test_dp_bundle_rejects_odd_buckets(setup, tmp_path):
     with pytest.raises(ValueError, match="not divisible by dp"):
         save_bundle(str(tmp_path / "x"), params, cfg, gcfg, vocab, geoms,
                     dp=2)
+
+
+def test_multibucket_bundle_covers_long_fields(setup, tmp_path):
+    """ADVICE r3 (medium): a bundle must carry the cross product of the
+    per-field buckets its serving host can produce — a multi-turn history
+    over the smallest bucket must land on an exported program, and one over
+    the LARGEST bucket must be clamped at submit() (most recent tokens
+    kept), never raise a geometry KeyError mid-batch."""
+    from bist_tpu.serving import DynamicBatcher
+
+    vocab, cfg, params, gcfg = setup
+    geoms = default_serving_geometries(cfg, batch_buckets=(2,), Lq=(8,),
+                                       Lh=(8, 16), Lc=(8,), T=(4,), S=4)
+    assert len(geoms) == 2                      # cross product over Lh
+    save_bundle(str(tmp_path / "mb"), params, cfg, gcfg, vocab, geoms)
+    bundle = load_bundle(str(tmp_path / "mb"))
+    responder = bundle.make_responder()
+    assert responder.q_buckets == (8,)
+    assert responder.h_buckets == (8, 16)
+    assert responder.feat_tail == (4, 8)
+
+    server = DynamicBatcher(responder, max_batch=2, max_wait_ms=5)
+    server.start()
+    try:
+        rng = np.random.default_rng(0)
+        fts = rng.standard_normal((4, 4, 8)).astype(np.float32)
+        long_hist = "a man is walking " * 3        # 12 tokens -> bucket 16
+        ans = server.submit("what is he doing", history=long_hist,
+                            caption="the dog", features=fts)
+        assert isinstance(ans, str)
+        over_hist = "a man is walking " * 10       # 40 tokens -> clamp to 16
+        ans = server.submit("what is he doing", history=over_hist,
+                            caption="the dog", features=fts)
+        assert isinstance(ans, str)
+        # over-long video grids clamp to the largest exported T bucket
+        ans = server.submit("what is he doing", history="a man",
+                            caption="the dog",
+                            features=rng.standard_normal(
+                                (9, 4, 8)).astype(np.float32))
+        assert isinstance(ans, str)
+        # wrong spatial grid is rejected per-request at submit, from the
+        # bundle's geometry table (never poisons a coalesced batch)
+        with pytest.raises(ValueError, match="served grid"):
+            server.submit("what is he doing", history="a man",
+                          caption="the dog",
+                          features=np.zeros((4, 5, 8), np.float32))
+        assert server.stats["errors"] == 0
+    finally:
+        server.stop()

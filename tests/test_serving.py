@@ -337,3 +337,21 @@ def test_metrics_endpoint(served, rng):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_error_rate_counts_requests_not_batches():
+    """ADVICE r3: a failed BATCH counts every request it carried, so
+    /metrics error_rate = requests-failed / requests-submitted."""
+    from bist_tpu.serving import DynamicBatcher, Request
+
+    b = DynamicBatcher.__new__(DynamicBatcher)   # no responder needed
+    b.stats = {"requests": 8, "batches": 2, "errors": 0}
+    b._lat = []
+    b._q = __import__("queue").Queue()
+    reqs = [Request(question=np.zeros(1, np.int32),
+                    history=np.zeros(1, np.int32), caption=None,
+                    features=None) for _ in range(4)]
+    b._fail(reqs, RuntimeError("boom"))
+    assert b.stats["errors"] == 4
+    assert b.metrics()["error_rate"] == 0.5
+    assert all(r._event.is_set() and r._error is not None for r in reqs)
