@@ -32,10 +32,22 @@ vs_baseline ≥ 10 means target met.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (+
 "value_per_call_lower_bound", a short per-call-dispatch probe on the dominant
 bucket, when chained mode is on — ADVICE r2 #4: both dispatch bases explicit).
+
+Resilience (round 4): the TPU tunnel this harness runs over occasionally
+fails backend init or wedges for minutes (CLAUDE.md; round 3's driver capture
+died on the FIRST device op with "Unable to initialize backend 'axon'" and
+recorded rc=1/no JSON).  `python bench.py` therefore runs as a LAUNCHER: it
+health-checks the backend in a throwaway subprocess (60s-timeout trivial
+matmul, retried with backoff), runs the actual benchmark as a child process
+(`bench.py --run`) with a per-attempt timeout, retries on failure, and ALWAYS
+prints one well-formed JSON line — with an "error" field instead of dying —
+so the capture parses no matter what the tunnel does.  Knobs:
+BENCH_ATTEMPTS (3), BENCH_ATTEMPT_TIMEOUT (2400s), BENCH_DEADLINE (5400s).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -44,6 +56,91 @@ import numpy as np
 REFERENCE_GPU_RESP_PER_SEC = 2.0
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
+
+HEALTH_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((256, 256), jnp.bfloat16);"
+    "print(float((x @ x).sum()))"
+)
+
+
+def _health_check(timeout=90):
+    """One trivial matmul in a throwaway subprocess (the CLAUDE.md recipe):
+    proves the backend initialises AND a host fetch completes.  A subprocess
+    because jax caches backend-init failures in-process."""
+    try:
+        r = subprocess.run([sys.executable, "-c", HEALTH_SRC], cwd=HERE,
+                           capture_output=True, text=True, timeout=timeout)
+        return r.returncode == 0, (r.stderr or "")[-2000:]
+    except subprocess.TimeoutExpired:
+        return False, f"health check timed out after {timeout}s (tunnel wedge?)"
+
+
+def _extract_json_line(text):
+    for ln in reversed(text.splitlines()):
+        ln = ln.strip()
+        if ln.startswith("{") and '"metric"' in ln:
+            try:
+                return json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def launcher():
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "2400"))
+    deadline = time.time() + float(os.environ.get("BENCH_DEADLINE", "5400"))
+    last_err = ""
+    for attempt in range(1, attempts + 1):
+        # wait until the backend passes a health check (wedges self-heal in
+        # minutes; backend-init failures are transient)
+        backoff = 60
+        for probe in range(8):
+            ok, err = _health_check()
+            if ok:
+                break
+            last_err = err
+            print(f"[bench] health check {probe + 1} failed; retrying in "
+                  f"{backoff}s: {err.splitlines()[-1] if err else '?'}",
+                  file=sys.stderr)
+            if time.time() + backoff > deadline:
+                break
+            time.sleep(backoff)
+            backoff = min(backoff * 2, 240)
+        else:
+            ok = False
+        if not ok:
+            break
+        budget = min(attempt_timeout, max(60.0, deadline - time.time()))
+        try:
+            r = subprocess.run([sys.executable, __file__, "--run"], cwd=HERE,
+                               capture_output=True, text=True, timeout=budget)
+            sys.stderr.write(r.stderr[-8000:])
+            parsed = _extract_json_line(r.stdout)
+            if r.returncode == 0 and parsed is not None:
+                print(json.dumps(parsed))
+                return 0
+            last_err = (f"attempt {attempt}: rc={r.returncode}, "
+                        f"stdout tail: {r.stdout[-500:]!r}, "
+                        f"stderr tail: {r.stderr[-1500:]!r}")
+        except subprocess.TimeoutExpired:
+            last_err = (f"attempt {attempt}: benchmark child timed out "
+                        f"after {budget:.0f}s")
+        print(f"[bench] {last_err[:300]}", file=sys.stderr)
+        if time.time() > deadline - 120:
+            break
+        time.sleep(60)
+    # final failure: still ONE parseable JSON line (the round-3 capture
+    # failed precisely because a raw traceback replaced this line)
+    print(json.dumps({
+        "metric": "avsd_generation_throughput",
+        "value": 0.0,
+        "unit": "responses/sec/chip (BENCHMARK FAILED — see error field)",
+        "vs_baseline": 0.0,
+        "error": last_err[-1500:] or "backend never became healthy",
+    }))
+    return 0
 
 # one static shape: covers the AVSD test distribution (queries ≤32, summary
 # captions ≤64, histories clipped to 256, ≤40 clips of (16, 2048))
@@ -246,4 +343,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv:
+        main()          # child: the actual benchmark
+    else:
+        sys.exit(launcher())

@@ -25,6 +25,7 @@ calls a nonexistent free `encode()`) with working argmax decoding.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import List, NamedTuple, Tuple
 
 import jax
@@ -39,6 +40,15 @@ from bist_tpu.models.model import (
 from bist_tpu.vocab import EOS, PAD, SOS, UNK
 
 NEG = -1.0e30
+
+# Structural A/B knob for the beam-step bookkeeping (read at import, like
+# layers.PACK_PROJECTIONS).  BIST_REGROUP_MM: KV-cache parent regroup as a
+# one-hot batched matmul (MXU) instead of take_along_axis (gather) —
+# selection by 0/1 weights is bit-exact in any dtype.  Default off until
+# measured (the regroup moves <1 ms/batch even at B=128, BENCH.md round 3).
+# NOTE: two-stage expansion top-k was tried and measured 13× SLOWER than the
+# flat top_k((B, K·V), K) on the v5e (BENCH.md round 3) — do not revisit.
+REGROUP_MM = _os.environ.get("BIST_REGROUP_MM", "0") != "0"
 
 
 class BeamResult(NamedTuple):
@@ -130,10 +140,18 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
 
         # gather the KV cache rows of the chosen parents
         def regroup(c):
-            c = c.reshape((cfg.nb_blocks, B, K) + c.shape[2:])
+            tail = c.shape[2:]
+            c = c.reshape((cfg.nb_blocks, B, K) + tail)
+            if REGROUP_MM:
+                # selection as (K_new, K_old) one-hot × (K_old, F) batched
+                # matmul: copies rows through the MXU instead of a gather
+                sel = jax.nn.one_hot(parent, K, dtype=c.dtype)
+                out = jnp.einsum("bij,nbjf->nbif", sel,
+                                 c.reshape(cfg.nb_blocks, B, K, -1))
+                return out.reshape((cfg.nb_blocks, B * K) + tail)
             c = jnp.take_along_axis(
                 c, parent[None, :, :, None, None, None], axis=2)
-            return c.reshape((cfg.nb_blocks, B * K) + c.shape[3:])
+            return c.reshape((cfg.nb_blocks, B * K) + tail)
 
         caches = tuple(DecodeCache(k=regroup(c.k), v=regroup(c.v))
                        for c in caches)

@@ -21,6 +21,7 @@ O(beam·L²) full forward passes per response."""
 
 from __future__ import annotations
 
+import os as _os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -243,6 +244,31 @@ def _cross_kv(p_attn: Params, h: int, memory: jnp.ndarray):
             split_heads(linear(p_attn["wv"], memory), h))
 
 
+# Block-diagonal decode cross-attention (BIST_BD_CROSS=1, read at trace
+# time): store each short-source K/V as head-block-diagonal matrices so the
+# per-step attention becomes TWO B-batched (beam × D) @ (D × h·Lk) GEMMs —
+# no head split/merge transposes and no (B·h)-batched tiny (beam × d_k)
+# matmuls, which the op-level decode breakdown fingers as the per-step cost
+# at d_k=16 (scripts/bench_decode_ops.py).  The zero blocks cost 8× the
+# K/V bytes, so this only pays for short sources: slots with
+# Lk > BIST_BD_MAX_LK (default 64 — i.e. the 256-token history) keep the
+# per-head layout.  Exact up to f32 summation order (the extra terms are
+# exact zeros).
+BD_CROSS = _os.environ.get("BIST_BD_CROSS", "0") != "0"
+BD_MAX_LK = int(_os.environ.get("BIST_BD_MAX_LK", "64"))
+
+
+def _bd_kv(K: jnp.ndarray, V: jnp.ndarray):
+    """(B, h, Lk, dk) K/V → block-diagonal (B, h·dk, h·Lk) / (B, h·Lk, h·dk).
+    Row/column order matches the d_model layout split_heads uses
+    (flat index = head·d_k + d), so q @ Kbd reproduces per-head scores."""
+    B, h, Lk, dk = K.shape
+    eye = jnp.eye(h, dtype=K.dtype)
+    Kbd = jnp.einsum("bhkd,hg->bhdgk", K, eye).reshape(B, h * dk, h * Lk)
+    Vbd = jnp.einsum("bhkd,hg->bhkgd", V, eye).reshape(B, h * Lk, h * dk)
+    return Kbd, Vbd
+
+
 def precompute_decode_ctx(params: Params, cfg: ModelConfig,
                           batch: Batch, dtype=jnp.float32) -> DecodeCtx:
     """Run encode + the full modality reasoning stack once; pre-project every
@@ -267,6 +293,9 @@ def precompute_decode_ctx(params: Params, cfg: ModelConfig,
         }
         for name, ft_key, mask_key in bist.mm_layer_cross_slots(cfg):
             kv[name] = _cross_kv(lp[name]["attn"], cfg.att_h, ft[ft_key])
+        if BD_CROSS:
+            kv = {name: (_bd_kv(*KV) if KV[0].shape[2] <= BD_MAX_LK else KV)
+                  for name, KV in kv.items()}
         layer_kv.append(kv)
     toks = generator_tokens(batch, masks)
     keep = ("encoded_query", "encoded_cap", "encoded_his")
@@ -345,11 +374,33 @@ def _mha_cross_cached(p_attn: Params, h: int, x: jnp.ndarray, KV, mask,
     over query positions, so K hypotheses of one batch element are just K
     query rows.  vs tiling the context per hypothesis (round ≤2) this reads
     each K/V from HBM once per batch element instead of `beam` times and
-    feeds the MXU (beam × Lk) score matmuls instead of (1 × Lk)."""
+    feeds the MXU (beam × Lk) score matmuls instead of (1 × Lk).
+
+    A 3-D K means the slot was precomputed block-diagonally (BIST_BD_CROSS):
+    attention is then two B-batched dense GEMMs with per-head-segment
+    softmax — no head transposes, no (B·h)-batched d_k=16 matmuls."""
+    import math as _math
+
     K, V = KV
     B = K.shape[0]
     xf = x.reshape(B, beam, x.shape[-1])
-    Q = split_heads(linear(p_attn["wq"], xf), h)         # (B, h, beam, dk)
+    q = linear(p_attn["wq"], xf)                         # (B, beam, D)
+    if K.ndim == 3:                                      # block-diagonal slot
+        Lk = K.shape[2] // h
+        d_k = K.shape[1] // h
+        scores = jnp.einsum("bqd,bdm->bqm", q, K,
+                            preferred_element_type=jnp.float32) \
+            / _math.sqrt(d_k)
+        scores = scores.reshape(B, beam, h, Lk)
+        if mask is not None:
+            from bist_tpu.models.layers import NEG_INF
+
+            scores = jnp.where(mask[:, :, None, :] == 0, NEG_INF, scores)
+        attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        ctxv = jnp.einsum("bqm,bmd->bqd", attn.reshape(B, beam, h * Lk), V)
+        out = linear(p_attn["wo"], ctxv)                 # (B, beam, D)
+        return out.reshape(x.shape)
+    Q = split_heads(q, h)                                # (B, h, beam, dk)
     if mask is not None:
         mask = mask[..., None, :, :]                     # (B, 1, 1, Lk)
     attn = attention_weights(Q, K, mask, 0.0, None)

@@ -250,14 +250,23 @@ def run_epoch(loader, state_or_params, step_fn, epoch: int, *,
     return stats.summary()
 
 
-def init_csv_logs(model_prefix: str) -> Tuple[str, str]:
-    """Create <model>_train.csv / <model>_trace.csv with reference headers."""
+def init_csv_logs(model_prefix: str, resume: bool = False) -> Tuple[str, str]:
+    """Create <model>_train.csv / <model>_trace.csv with reference headers.
+
+    With resume=True, existing logs are KEPT and appended to (the resumed
+    epochs continue the same files) — a fresh run truncates, matching the
+    reference's behaviour of one csv per run (train.py:121-128)."""
+    import os
+
     trace_log_path = model_prefix + "_trace.csv"
     train_log_path = model_prefix + "_train.csv"
-    with open(trace_log_path, "w") as f:
-        f.write("epoch,split,loss,ae_temporal_loss,ae_spatial_loss\n")
-    with open(train_log_path, "w") as f:
-        f.write("epoch,step,loss,ae_temporal_loss,ae_spatial_loss\n")
+    for path, header in (
+            (trace_log_path, "epoch,split,loss,ae_temporal_loss,ae_spatial_loss\n"),
+            (train_log_path, "epoch,step,loss,ae_temporal_loss,ae_spatial_loss\n")):
+        if resume and os.path.exists(path):
+            continue
+        with open(path, "w") as f:
+            f.write(header)
     return train_log_path, trace_log_path
 
 

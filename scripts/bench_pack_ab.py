@@ -31,7 +31,8 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--what", default="both",
                     choices=["train", "decode", "prng", "adam", "presplit",
-                             "cachedtype", "unroll", "computedtype", "both"])
+                             "cachedtype", "unroll", "computedtype",
+                             "bdcross", "regroupmm", "decodeops", "both"])
     ap.add_argument("--unroll", type=int, default=3,
                     help="beam-scan unroll factor for --what unroll")
     ap.add_argument("--d-model", type=int, default=128,
@@ -201,6 +202,125 @@ def main():
         print(f"beam batch  bf16-compute: {bf:.2f} ms  f32-compute: "
               f"{f32:.2f} ms  (bf16-compute speedup {f32 / max(bf, 1e-9):.3f}x"
               f"; batch {B}, unroll {args.unroll})")
+
+    if args.what == "bdcross":
+        # Block-diagonal short-source cross-attention (models/model.py
+        # BIST_BD_CROSS) vs the per-head layout, both on the shipped
+        # serving defaults (bf16 cache).  Trace-time module flag, so two jit
+        # wrappers give the two programs.
+        from bist_tpu.models import model as model_mod
+
+        gc_bf = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
+                               cache_dtype="bfloat16")
+
+        def build_bd_chain(bd: bool):
+            model_mod.BD_CROSS = bd
+            return build_decode_chain(False, gc=gc_bf, unroll=args.unroll)
+
+        dc_bd = build_bd_chain(True)
+        dc_ph = build_bd_chain(False)
+        a_1, b_1 = interleave(lambda: float(dc_bd(params, batch, n=2)),
+                              lambda: float(dc_ph(params, batch, n=2)),
+                              args.reps)
+        a_2, b_2 = interleave(lambda: float(dc_bd(params, batch, n=6)),
+                              lambda: float(dc_ph(params, batch, n=6)),
+                              args.reps)
+        bd = max(a_2 - a_1, 0.0) / 4 * 1e3
+        ph = max(b_2 - b_1, 0.0) / 4 * 1e3
+        print(f"beam batch  bd-cross: {bd:.2f} ms  per-head: {ph:.2f} ms  "
+              f"(bd speedup {ph / max(bd, 1e-9):.3f}x; batch {B}, "
+              f"unroll {args.unroll})")
+
+    if args.what == "regroupmm":
+        # KV-cache parent regroup: one-hot matmul vs take_along_axis gather
+        # (decode/beam.py BIST_REGROUP_MM), shipped bf16-cache defaults.
+        from bist_tpu.decode import beam as beam_mod
+
+        gc_bf = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
+                               cache_dtype="bfloat16")
+
+        def build_rg_chain(mm: bool):
+            beam_mod.REGROUP_MM = mm
+            return build_decode_chain(False, gc=gc_bf, unroll=args.unroll)
+
+        dc_mm = build_rg_chain(True)
+        dc_g = build_rg_chain(False)
+        a_1, b_1 = interleave(lambda: float(dc_mm(params, batch, n=2)),
+                              lambda: float(dc_g(params, batch, n=2)),
+                              args.reps)
+        a_2, b_2 = interleave(lambda: float(dc_mm(params, batch, n=6)),
+                              lambda: float(dc_g(params, batch, n=6)),
+                              args.reps)
+        mm = max(a_2 - a_1, 0.0) / 4 * 1e3
+        g = max(b_2 - b_1, 0.0) / 4 * 1e3
+        print(f"beam batch  regroup-mm: {mm:.2f} ms  gather: {g:.2f} ms  "
+              f"(mm speedup {g / max(mm, 1e-9):.3f}x; batch {B}, "
+              f"unroll {args.unroll})")
+
+    if args.what == "decodeops":
+        # ISOLATED op-level costs of one decode-step cross-attention at
+        # flagship shapes (B=batch, beam=5, h=8, d_k=16): per-head layout
+        # (the (B·h)-batched d_k=16 matmuls) vs block-diagonal (two
+        # B-batched dense GEMMs) vs the bare q-projection GEMM.  Chained
+        # per-op timing — this is the op-count budget VERDICT r3 #5 asks
+        # for, per op instead of per step.
+        from bist_tpu.models.layers import linear_init, split_heads
+        from bist_tpu.models.model import _bd_kv, _mha_cross_cached
+
+        h, dk = cfg.att_h, cfg.d_model // cfg.att_h
+        beam = 5
+        rngk = jax.random.PRNGKey(7)
+        p_attn = {w: linear_init(jax.random.fold_in(rngk, i),
+                                 cfg.d_model, cfg.d_model)
+                  for i, w in enumerate(("wq", "wk", "wv", "wo"))}
+        p_attn = jax.device_put(p_attn)
+        x0 = jax.device_put(jnp.asarray(
+            np.random.default_rng(0).standard_normal(
+                (B * beam, 1, cfg.d_model)), jnp.float32))
+        for name, Lk in (("query/temporal/spatial/cap (Lk=32)", 32),
+                         ("his (Lk=256)", 256)):
+            Kh = jax.device_put(jnp.asarray(
+                np.random.default_rng(1).standard_normal(
+                    (B, h, Lk, dk)), jnp.bfloat16))
+            Vh = jax.device_put(jnp.asarray(
+                np.random.default_rng(2).standard_normal(
+                    (B, h, Lk, dk)), jnp.bfloat16))
+            Kbd, Vbd = jax.jit(_bd_kv)(Kh, Vh)
+            mask = jax.device_put(
+                jnp.ones((B, 1, Lk), jnp.int32))
+
+            def build_attn_chain(KV):
+                @partial(jax.jit, static_argnames="n")
+                def chain(x, n):
+                    def body(c, _):
+                        xi = x + unprovable_zero(c).astype(x.dtype)
+                        o = _mha_cross_cached(p_attn, h, xi, KV, mask, beam)
+                        return c + jnp.sum(o).astype(jnp.float32), None
+
+                    out, _ = jax.lax.scan(body, jnp.zeros(()), None,
+                                          length=n)
+                    return out
+
+                return chain
+
+            n_op = 64
+            ch_ph = build_attn_chain((Kh, Vh))
+            ch_bd = build_attn_chain((Kbd, Vbd))
+            for ch in (ch_ph, ch_bd):
+                for n in (n_op, 2 * n_op):
+                    float(ch(x0, n=n))
+            a_1, b_1 = interleave(lambda: float(ch_bd(x0, n=n_op)),
+                                  lambda: float(ch_ph(x0, n=n_op)),
+                                  args.reps)
+            a_2, b_2 = interleave(lambda: float(ch_bd(x0, n=2 * n_op)),
+                                  lambda: float(ch_ph(x0, n=2 * n_op)),
+                                  args.reps)
+            bd_us = max(a_2 - a_1, 0.0) / n_op * 1e6
+            ph_us = max(b_2 - b_1, 0.0) / n_op * 1e6
+            print(f"cross-attn [{name}]  per-head: {ph_us:.1f} us/op  "
+                  f"block-diag: {bd_us:.1f} us/op  "
+                  f"(bd speedup {ph_us / max(bd_us, 1e-9):.3f}x; "
+                  f"{B * beam} rows)")
 
     if args.what == "adam":
         # optimizer-update lowering A/B: per-leaf Adam (~6 elementwise ops x

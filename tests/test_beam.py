@@ -188,3 +188,75 @@ def test_ensemble_distinct_models_runs(rng):
     res = beam_search([p1, p2], cfg, batch, gcfg)
     assert res.tokens.shape == (2, 2, 4)
     assert np.all(np.isfinite(np.asarray(res.scores)))
+
+
+def test_regroup_mm_identical(rng, monkeypatch):
+    """The one-hot-matmul cache regroup (BIST_REGROUP_MM) must return
+    bit-identical results to the take_along_axis baseline."""
+    import bist_tpu.decode.beam as beam_mod
+
+    cfg = tiny_cfg()
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    batch = tiny_batch(rng, B=3)
+    gcfg = GenerateConfig(maxlen=6, beam=3, penalty=1.0, nbest=3)
+
+    base = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))(params, batch)
+    monkeypatch.setattr(beam_mod, "REGROUP_MM", True)
+    alt = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))(params, batch)
+    np.testing.assert_array_equal(np.asarray(base.tokens),
+                                  np.asarray(alt.tokens))
+    np.testing.assert_array_equal(np.asarray(base.scores),
+                                  np.asarray(alt.scores))
+    np.testing.assert_array_equal(np.asarray(base.lengths),
+                                  np.asarray(alt.lengths))
+
+    # and under the serving defaults (bf16 cache): regroup matmul copies
+    # rows bit-exactly in any dtype
+    g2 = GenerateConfig(maxlen=6, beam=3, penalty=1.0, nbest=3,
+                        cache_dtype="bfloat16")
+    alt16 = jax.jit(lambda p, b: beam_search(p, cfg, b, g2))(params, batch)
+    monkeypatch.setattr(beam_mod, "REGROUP_MM", False)
+    base16 = jax.jit(lambda p, b: beam_search(p, cfg, b, g2))(params, batch)
+    np.testing.assert_array_equal(np.asarray(base16.tokens),
+                                  np.asarray(alt16.tokens))
+    np.testing.assert_array_equal(np.asarray(base16.scores),
+                                  np.asarray(alt16.scores))
+
+
+def test_bd_cross_attention_matches(rng, monkeypatch):
+    """Block-diagonal decode cross-attention (BIST_BD_CROSS) must reproduce
+    the per-head path: same beam tokens/lengths, scores equal to f32
+    summation-order tolerance (the zero blocks contribute exact zeros)."""
+    import bist_tpu.models.model as model_mod
+
+    cfg = tiny_cfg()
+    params = init_model(jax.random.PRNGKey(5), cfg)
+    batch = tiny_batch(rng, B=3)
+    gcfg = GenerateConfig(maxlen=6, beam=3, penalty=1.0, nbest=3)
+
+    base = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))(params, batch)
+    monkeypatch.setattr(model_mod, "BD_CROSS", True)
+    monkeypatch.setattr(model_mod, "BD_MAX_LK", 64)   # all tiny slots qualify
+    bd = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))(params, batch)
+    np.testing.assert_array_equal(np.asarray(base.tokens),
+                                  np.asarray(bd.tokens))
+    np.testing.assert_array_equal(np.asarray(base.lengths),
+                                  np.asarray(bd.lengths))
+    np.testing.assert_allclose(np.asarray(base.scores),
+                               np.asarray(bd.scores), rtol=0, atol=1e-4)
+
+    # with a max-Lk threshold of 0 every slot keeps the per-head layout —
+    # bitwise identical to base (guards the dispatch-on-ndim plumbing)
+    monkeypatch.setattr(model_mod, "BD_MAX_LK", 0)
+    same = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))(params, batch)
+    np.testing.assert_array_equal(np.asarray(base.scores),
+                                  np.asarray(same.scores))
+
+    # greedy path too (beam=1 rows)
+    monkeypatch.setattr(model_mod, "BD_MAX_LK", 64)
+    from bist_tpu.decode.beam import greedy_decode as gd
+
+    g_bd = jax.jit(lambda p, b: gd(p, cfg, b, 6))(params, batch)
+    monkeypatch.setattr(model_mod, "BD_CROSS", False)
+    g_base = jax.jit(lambda p, b: gd(p, cfg, b, 6))(params, batch)
+    np.testing.assert_array_equal(np.asarray(g_base), np.asarray(g_bd))

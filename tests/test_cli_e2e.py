@@ -123,3 +123,60 @@ def test_generate_data_parallel_mesh(trained, tmp_path):
     for rd in result["dialogs"]:
         for turn in rd["dialog"]:
             assert isinstance(turn["answer"], str)
+
+
+def test_save_all_and_resume_from_mid_epoch(synth, tmp_path):
+    """--save-all writes one checkpoint per epoch plus the best pointer
+    (reference train.py:156-177 semantics: all epochs kept, best tracked);
+    --resume from a MID epoch continues at the right epoch index and leaves
+    a full artifact trail (VERDICT r3 #9)."""
+    model = os.path.join(str(tmp_path), "mtn")
+    common = [
+        "train.py",
+        "--fea-type", "resnext_st",
+        "--train-path", os.path.join(synth, "<FeaType>/<ImageID>.npy"),
+        "--train-set", os.path.join(synth, "train_test.json"),
+        "--valid-path", os.path.join(synth, "<FeaType>/<ImageID>.npy"),
+        "--valid-set", os.path.join(synth, "valid_test.json"),
+        "--model", model, "--batch-size", "8",
+        "--nb-blocks", "1", "--nb-venc-blocks", "1", "--nb-cenc-blocks", "1",
+        "--d-model", "32", "--att-h", "4", "--include-caption", "summary",
+        "--warmup-steps", "20", "--report-interval", "1", "--device", "cpu",
+        "--save-all", "1",
+    ]
+    run(common + ["--num-epochs", "2"])
+    for suffix in ("_1", "_2", "_best"):
+        assert os.path.isdir(model + suffix), suffix
+
+    # the best pointer is a REAL checkpoint of the min-valid-loss epoch
+    sys.path.insert(0, REPO)
+    from bist_tpu.train.checkpoint import load_checkpoint
+
+    trace = [l.split(",") for l in
+             open(model + "_trace.csv").read().splitlines()[1:]]
+    val = {int(r[0]): float(r[2]) for r in trace if r[1] == "val"}
+    best_epoch = min(val, key=val.get)       # 1-based (trace convention)
+    assert load_checkpoint(model + "_best")["meta"]["epoch"] == best_epoch - 1
+
+    # resume from the MID checkpoint (epoch 1 of 2) and run through epoch 3:
+    # epochs 2 and 3 must train (fresh per-epoch checkpoints), epoch order
+    # in the trace must continue without repeats of the resumed epochs
+    n_trace_rows = len(trace)
+    run(common + ["--num-epochs", "4", "--resume", model + "_1"])
+    for suffix in ("_2", "_3", "_4"):
+        assert os.path.isdir(model + suffix), suffix
+    trace2 = [l.split(",") for l in
+              open(model + "_trace.csv").read().splitlines()[1:]]
+    new_rows = trace2[n_trace_rows:]
+    # resumed from the epoch-1 checkpoint (0-based epoch 0) → continues at
+    # 0-based epochs 1..3 = 1-based trace rows 2..4, no repeats of epoch 1
+    assert sorted({int(r[0]) for r in new_rows}) == [2, 3, 4]
+    # resumed best checkpoint stays loadable and generate can consume it
+    out = str(tmp_path / "result_resumed.json")
+    run(["generate.py",
+         "--test-path", os.path.join(synth, "<FeaType>/<ImageID>.npy"),
+         "--test-set", os.path.join(synth, "test_test.json"),
+         "--model-conf", model + ".conf", "--model", model,
+         "--decode-style", "greedy", "--output", out,
+         "--gen-batch-size", "8", "--device", "cpu"])
+    assert json.load(open(out))["dialogs"]

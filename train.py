@@ -265,7 +265,8 @@ def main(argv=None):
             f"must still shard over the data mesh")
     train_step = make_train_step(cfg, tcfg, tx, grad_accum=args.grad_accum)
     eval_step = make_eval_step(cfg, tcfg)
-    train_log, trace_log = init_csv_logs(args.model)
+    train_log, trace_log = init_csv_logs(args.model,
+                                         resume=bool(resume_path))
     logging.info("Saving training results to %s", train_log)
 
     logging.info("----------------")
