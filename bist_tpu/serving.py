@@ -289,6 +289,40 @@ class Responder:
         for b in buckets:
             self.respond([mk() for _ in range(b)])
 
+    def warmup_geometries(self, geometries) -> None:
+        """Compile (or, for AOT bundles, backend-compile) EVERY geometry in
+        a bundle table before taking traffic — the bundle serving contract
+        is that no request group ever compiles at serve time, and a
+        cross-product bundle carries more shapes than warmup()'s one
+        length/time combo per batch bucket (export.py geometry tables)."""
+        import jax
+
+        from bist_tpu.data.batching import Batch
+
+        for g in geometries:
+            n = g["B"]
+
+            def tok(L):
+                arr = np.full((n, L), PAD, np.int32)
+                arr[:, 0] = SOS
+                return arr
+
+            fts = scale = audio = None
+            if "T" in g:
+                fts = np.zeros((n, g["T"], g["S"], g["Dv"]), np.float32)
+                if g.get("int8"):
+                    from bist_tpu.data.batching import quantize_features
+
+                    fts, scale = quantize_features(fts)
+            if "Ta" in g:
+                audio = np.zeros((n, g["Ta"], g["Da"]), np.float32)
+            dummy = np.full((n, g.get("Lt", 1)), SOS, np.int32)
+            batch = Batch(query=tok(g["Lq"]), his=tok(g["Lh"]), trg=dummy,
+                          trg_y=dummy,
+                          cap=tok(g["Lc"]) if "Lc" in g else None,
+                          fts=fts, audio_fts=audio, fts_scale=scale)
+            jax.device_get(self._beam(self.params, self._dp.shard(batch)))
+
 
 class DynamicBatcher:
     """Background thread coalescing requests into Responder batches."""

@@ -169,7 +169,12 @@ def main(argv=None):
                               max_batch=args.max_batch,
                               feat_int8=bool(args.feat_int8))
     logging.info("warmup compile...")
-    responder.warmup(all_batch_buckets=True)
+    if args.bundle:
+        # compile every exported geometry — a bundle host must never
+        # compile (or KeyError) at serve time
+        responder.warmup_geometries(bundle.geometries.values())
+    else:
+        responder.warmup(all_batch_buckets=True)
     server_b = DynamicBatcher(responder, max_batch=args.max_batch,
                               max_wait_ms=args.max_wait_ms,
                               pipeline_depth=args.pipeline_depth)

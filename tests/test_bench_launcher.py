@@ -1,0 +1,41 @@
+"""bench.py launcher resilience (VERDICT r3 #1): the driver capture died on
+a transient backend failure with rc=1 and NO parseable JSON.  The launcher
+must always print exactly one well-formed JSON line — a real result when
+the child succeeds, an "error" record when everything fails — and exit 0.
+
+These tests drive the launcher machinery without touching any accelerator
+(BENCH_ATTEMPTS=0 short-circuits before the health check)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def test_extract_json_line():
+    sys.path.insert(0, REPO)
+    import bench
+
+    out = ('WARNING: noise\n{"metric": "x", "value": 1}\n'
+           '{"metric": "avsd_generation_throughput", "value": 2.5}\ntail')
+    got = bench._extract_json_line(out)
+    assert got == {"metric": "avsd_generation_throughput", "value": 2.5}
+    assert bench._extract_json_line("no json here") is None
+    assert bench._extract_json_line("{broken \"metric\"") is None
+
+
+def test_launcher_failure_prints_error_json():
+    env = dict(os.environ)
+    env.update(BENCH_ATTEMPTS="0", BENCH_DEADLINE="5")
+    r = subprocess.run([sys.executable, BENCH], cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, r.stdout
+    parsed = json.loads(lines[0])
+    assert parsed["metric"] == "avsd_generation_throughput"
+    assert parsed["value"] == 0.0
+    assert "error" in parsed

@@ -338,3 +338,17 @@ def test_multibucket_bundle_covers_long_fields(setup, tmp_path):
         assert server.stats["errors"] == 0
     finally:
         server.stop()
+
+
+def test_warmup_geometries_covers_table(setup, tmp_path):
+    """Responder.warmup_geometries must execute every program in a
+    cross-product bundle (serve.py --bundle warms with it — no serve-time
+    compiles, no geometry KeyError)."""
+    vocab, cfg, params, gcfg = setup
+    geoms = default_serving_geometries(cfg, batch_buckets=(2, 4), Lq=(8,),
+                                       Lh=(8, 16), Lc=(8,), T=(4,), S=4)
+    assert len(geoms) == 4
+    save_bundle(str(tmp_path / "wg"), params, cfg, gcfg, vocab, geoms)
+    bundle = load_bundle(str(tmp_path / "wg"))
+    responder = bundle.make_responder()
+    responder.warmup_geometries(bundle.geometries.values())   # must not raise
