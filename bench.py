@@ -87,11 +87,33 @@ def _extract_json_line(text):
     return None
 
 
+def _fail_line(err):
+    return json.dumps({
+        "metric": "avsd_generation_throughput",
+        "value": 0.0,
+        "unit": "responses/sec/chip (BENCHMARK FAILED — see error field)",
+        "vs_baseline": 0.0,
+        "error": (err or "")[-1500:] or "backend never became healthy",
+    })
+
+
 def launcher():
+    import signal
+
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
     attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "2400"))
     deadline = time.time() + float(os.environ.get("BENCH_DEADLINE", "5400"))
     last_err = ""
+
+    # If the CALLER times us out (SIGTERM) mid-retry, still emit the one
+    # parseable JSON line before dying — a capture with an error record
+    # beats a capture with a truncated traceback (round 3's failure mode).
+    def on_term(signum, frame):
+        print(_fail_line(last_err or "killed by caller (SIGTERM) mid-run"),
+              flush=True)
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
     for attempt in range(1, attempts + 1):
         # wait until the backend passes a health check (wedges self-heal in
         # minutes; backend-init failures are transient)
@@ -119,7 +141,7 @@ def launcher():
             sys.stderr.write(r.stderr[-8000:])
             parsed = _extract_json_line(r.stdout)
             if r.returncode == 0 and parsed is not None:
-                print(json.dumps(parsed))
+                print(json.dumps(parsed), flush=True)
                 return 0
             last_err = (f"attempt {attempt}: rc={r.returncode}, "
                         f"stdout tail: {r.stdout[-500:]!r}, "
@@ -133,13 +155,7 @@ def launcher():
         time.sleep(60)
     # final failure: still ONE parseable JSON line (the round-3 capture
     # failed precisely because a raw traceback replaced this line)
-    print(json.dumps({
-        "metric": "avsd_generation_throughput",
-        "value": 0.0,
-        "unit": "responses/sec/chip (BENCHMARK FAILED — see error field)",
-        "vs_baseline": 0.0,
-        "error": last_err[-1500:] or "backend never became healthy",
-    }))
+    print(_fail_line(last_err), flush=True)
     return 0
 
 # one static shape: covers the AVSD test distribution (queries ≤32, summary

@@ -39,3 +39,24 @@ def test_launcher_failure_prints_error_json():
     assert parsed["metric"] == "avsd_generation_throughput"
     assert parsed["value"] == 0.0
     assert "error" in parsed
+
+
+def test_launcher_sigterm_still_prints_json():
+    """If the capture harness times the launcher out (SIGTERM), the error
+    JSON must still land on stdout (round 3 failed with a raw traceback)."""
+    import signal
+    import time
+
+    env = dict(os.environ)
+    env.update(BENCH_ATTEMPTS="1", BENCH_DEADLINE="600")
+    p = subprocess.Popen([sys.executable, BENCH], cwd=REPO,
+                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                         text=True)
+    time.sleep(5)              # inside the health check / backoff
+    p.send_signal(signal.SIGTERM)
+    out, _ = p.communicate(timeout=60)
+    assert p.returncode == 0
+    lines = [l for l in out.splitlines() if l.strip()]
+    parsed = json.loads(lines[-1])
+    assert parsed["metric"] == "avsd_generation_throughput"
+    assert "error" in parsed
