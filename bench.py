@@ -113,6 +113,13 @@ def launcher():
               flush=True)
         sys.exit(0)
 
+    def emit(line):
+        # block SIGTERM BEFORE printing so a kill landing between the real
+        # result line and process exit cannot trigger on_term's second JSON
+        # line — the capture invariant is exactly ONE line on stdout
+        signal.pthread_sigmask(signal.SIG_BLOCK, {signal.SIGTERM})
+        print(line, flush=True)
+
     signal.signal(signal.SIGTERM, on_term)
     for attempt in range(1, attempts + 1):
         # wait until the backend passes a health check (wedges self-heal in
@@ -141,7 +148,7 @@ def launcher():
             sys.stderr.write(r.stderr[-8000:])
             parsed = _extract_json_line(r.stdout)
             if r.returncode == 0 and parsed is not None:
-                print(json.dumps(parsed), flush=True)
+                emit(json.dumps(parsed))
                 return 0
             last_err = (f"attempt {attempt}: rc={r.returncode}, "
                         f"stdout tail: {r.stdout[-500:]!r}, "
@@ -155,7 +162,7 @@ def launcher():
         time.sleep(60)
     # final failure: still ONE parseable JSON line (the round-3 capture
     # failed precisely because a raw traceback replaced this line)
-    print(_fail_line(last_err), flush=True)
+    emit(_fail_line(last_err))
     return 0
 
 # one static shape: covers the AVSD test distribution (queries ≤32, summary

@@ -178,30 +178,34 @@ def default_serving_geometries(
     produce when its per-field buckets are set to these values
     (Bundle.make_responder derives them back from the geometry table), so a
     bundle-served host never hits a geometry KeyError.  Ta (audio frames)
-    defaults to tracking T; pass a single int to pad audio to one length
-    and keep the program count linear in T."""
+    defaults to the same bucket list as T, crossed INDEPENDENTLY with it —
+    serving buckets video and audio time axes separately, so a batch with
+    8-clip video and 4-frame audio needs a T8/Ta4 program; pass a single
+    int Ta to pad audio to one length and keep the count linear in T."""
 
     def seq(v):
         return tuple(v) if isinstance(v, (tuple, list)) else (v,)
 
+    t_buckets = seq(T) if cfg.has_video else (None,)
+    ta_buckets = (seq(T if Ta is None else Ta)
+                  if cfg.has_audio else (None,))
     geoms = []
     for b in batch_buckets:
         for lq in seq(Lq):
             for lh in seq(Lh):
                 for lc in (seq(Lc) if cfg.has_caption else (None,)):
-                    for t in (seq(T) if (cfg.has_video or cfg.has_audio)
-                              else (None,)):
-                        g: Dict[str, Any] = {"B": b, "Lq": lq, "Lh": lh,
-                                             "Lt": Lt}
-                        if cfg.has_caption:
-                            g["Lc"] = lc
-                        if cfg.has_video:
-                            g.update(T=t, S=S, Dv=cfg.ft_sizes[0],
-                                     int8=feat_int8)
-                        if cfg.has_audio:
-                            g.update(Ta=t if Ta is None else int(Ta),
-                                     Da=cfg.ft_sizes[1])
-                        geoms.append(g)
+                    for t in t_buckets:
+                        for ta in ta_buckets:
+                            g: Dict[str, Any] = {"B": b, "Lq": lq,
+                                                 "Lh": lh, "Lt": Lt}
+                            if cfg.has_caption:
+                                g["Lc"] = lc
+                            if cfg.has_video:
+                                g.update(T=t, S=S, Dv=cfg.ft_sizes[0],
+                                         int8=feat_int8)
+                            if cfg.has_audio:
+                                g.update(Ta=ta, Da=cfg.ft_sizes[1])
+                            geoms.append(g)
     return geoms
 
 

@@ -35,7 +35,27 @@ import numpy as np
 from bist_tpu.config import GenerateConfig, ModelConfig
 from bist_tpu.data.batching import Batch, bucket_len, pad_to
 from bist_tpu.decode.beam import BeamResult, beam_search, extract_hyps
-from bist_tpu.vocab import PAD, SOS, make_id2word, words2ids
+from bist_tpu.vocab import EOS, PAD, SOS, make_id2word, words2ids
+
+
+def _clamp_head(ids: np.ndarray, max_len: int) -> np.ndarray:
+    """Truncate a [SOS, w.., EOS] sequence to max_len keeping the HEAD words
+    — re-attaching EOS so the model still sees the sentence boundary."""
+    if len(ids) <= max_len:
+        return ids
+    out = ids[:max_len].copy()
+    out[-1] = EOS
+    return out
+
+
+def _clamp_tail(ids: np.ndarray, max_len: int) -> np.ndarray:
+    """Truncate a [SOS, w.., EOS] sequence to max_len keeping the TAIL (most
+    recent history tokens) — re-attaching SOS at the front."""
+    if len(ids) <= max_len:
+        return ids
+    out = ids[-max_len:].copy()
+    out[0] = SOS
+    return out
 
 
 @dataclass
@@ -268,9 +288,13 @@ class Responder:
         all_batch_buckets=False to warm only the smallest bucket when
         startup latency matters more than first-burst latency."""
 
-        if self.cfg.has_video and self.feat_tail is None:
-            self.feat_tail = tuple(feature_shape
-                                   or (16, self.cfg.ft_sizes[0]))
+        # pin the served grid only when the caller STATES it (or a bundle
+        # already did): defaulting to (16, Dv) here would make a JIT-served
+        # host reject every request from an extractor with a non-16 spatial
+        # grid, where before warmup it would simply compile for that grid
+        if self.cfg.has_video and self.feat_tail is None \
+                and feature_shape is not None:
+            self.feat_tail = tuple(feature_shape)
 
         def mk():
             return Request(
@@ -419,14 +443,24 @@ class DynamicBatcher:
                     reqs.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            try:
-                inflight.append(self.responder.dispatch(reqs))
-            except Exception as e:
-                # bad batch (geometry/feature errors) must not kill the
-                # batcher thread or hang its clients
-                self._fail(reqs, e)
+            # dispatch per feature-tail group: on a JIT host feat_tail may
+            # be unpinned, and one request with a different (S, Dv) grid
+            # must not poison its coalesced neighbours (make_batch builds
+            # the grid from the group's first request)
+            groups: Dict[object, List[Request]] = {}
+            for r in reqs:
+                key = (tuple(r.features.shape[1:])
+                       if r.features is not None else None)
+                groups.setdefault(key, []).append(r)
+            for group in groups.values():
+                try:
+                    inflight.append(self.responder.dispatch(group))
+                except Exception as e:
+                    # bad batch (geometry/feature errors) must not kill the
+                    # batcher thread or hang its clients
+                    self._fail(group, e)
             self.stats["requests"] += len(reqs)
-            self.stats["batches"] += 1
+            self.stats["batches"] += len(groups)
             # backlog: keep pipeline_depth batches in flight; sparse
             # traffic: complete now (no latency added by pipelining)
             while len(inflight) >= self.pipeline_depth \
@@ -464,16 +498,25 @@ class DynamicBatcher:
             # clamp to the largest compiled time bucket (head clips kept)
             features = features[:rsp.time_buckets[-1]]
         if audio is not None:
+            if np.ndim(audio) != 2:
+                raise ValueError(f"audio must be (Ta, Da), got "
+                                 f"shape {np.shape(audio)}")
+            if cfg.has_audio and len(cfg.ft_sizes) > 1 \
+                    and audio.shape[1] != cfg.ft_sizes[1]:
+                raise ValueError(f"audio dim {audio.shape[1]} != "
+                                 f"model audio ft_size {cfg.ft_sizes[1]}")
             audio = audio[:rsp.audio_time_buckets[-1]]
         # clamp tokenized fields to their largest compiled length bucket —
         # question/caption keep the head, history keeps the most recent
         # turns (the reference's own history policy, data_handler.py:79-85).
         # Without this, an over-long field would bucket to a length the
-        # compiled-geometry (or AOT-bundle) table does not carry.
-        q_ids = rsp.tokenize(question)[: rsp.q_buckets[-1]]
-        h_ids = rsp.tokenize(history)[-rsp.h_buckets[-1]:] if history \
-            else np.array([PAD], np.int32)
-        c_ids = rsp.tokenize(caption)[: rsp.c_buckets[-1]] \
+        # compiled-geometry (or AOT-bundle) table does not carry.  words2ids
+        # wraps the text as [SOS, w.., EOS]; clamps must preserve both
+        # boundary tokens (a head slice would drop EOS, a tail slice SOS).
+        q_ids = _clamp_head(rsp.tokenize(question), rsp.q_buckets[-1])
+        h_ids = _clamp_tail(rsp.tokenize(history), rsp.h_buckets[-1]) \
+            if history else np.array([PAD], np.int32)
+        c_ids = _clamp_head(rsp.tokenize(caption), rsp.c_buckets[-1]) \
             if caption is not None else None
         r = Request(question=q_ids, history=h_ids, caption=c_ids,
                     features=features, audio=audio)

@@ -250,12 +250,16 @@ def run_epoch(loader, state_or_params, step_fn, epoch: int, *,
     return stats.summary()
 
 
-def init_csv_logs(model_prefix: str, resume: bool = False) -> Tuple[str, str]:
+def init_csv_logs(model_prefix: str, resume: bool = False,
+                  start_epoch: int = 0) -> Tuple[str, str]:
     """Create <model>_train.csv / <model>_trace.csv with reference headers.
 
     With resume=True, existing logs are KEPT and appended to (the resumed
     epochs continue the same files) — a fresh run truncates, matching the
-    reference's behaviour of one csv per run (train.py:121-128)."""
+    reference's behaviour of one csv per run (train.py:121-128).  Rows for
+    epochs the resumed run will re-train (> start_epoch — e.g. resuming
+    model_1 out of 4 completed epochs) are dropped first, so no epoch ever
+    carries two conflicting rows."""
     import os
 
     trace_log_path = model_prefix + "_trace.csv"
@@ -264,6 +268,14 @@ def init_csv_logs(model_prefix: str, resume: bool = False) -> Tuple[str, str]:
             (trace_log_path, "epoch,split,loss,ae_temporal_loss,ae_spatial_loss\n"),
             (train_log_path, "epoch,step,loss,ae_temporal_loss,ae_spatial_loss\n")):
         if resume and os.path.exists(path):
+            with open(path) as f:
+                lines = f.readlines()
+            kept = [ln for ln in lines[1:]
+                    if ln.split(",", 1)[0].isdigit()
+                    and int(ln.split(",", 1)[0]) <= start_epoch]
+            with open(path, "w") as f:
+                f.write(header)
+                f.writelines(kept)
             continue
         with open(path, "w") as f:
             f.write(header)

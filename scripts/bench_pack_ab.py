@@ -203,59 +203,46 @@ def main():
               f"{f32:.2f} ms  (bf16-compute speedup {f32 / max(bf, 1e-9):.3f}x"
               f"; batch {B}, unroll {args.unroll})")
 
-    if args.what == "bdcross":
-        # Block-diagonal short-source cross-attention (models/model.py
-        # BIST_BD_CROSS) vs the per-head layout, both on the shipped
-        # serving defaults (bf16 cache).  Trace-time module flag, so two jit
-        # wrappers give the two programs.
-        from bist_tpu.models import model as model_mod
-
+    def flag_chain_ab(set_flag, label_a, label_b):
+        """A/B a trace-time module flag over the shipped bf16-cache decode
+        chain: build both programs, interleave n=2/n=6 chain differences,
+        print per-step ms + speedup of A over B (methodology as the other
+        chain A/Bs — data-dependent iterations, warm pairs)."""
         gc_bf = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
                                cache_dtype="bfloat16")
 
-        def build_bd_chain(bd: bool):
-            model_mod.BD_CROSS = bd
+        def build(v: bool):
+            set_flag(v)
             return build_decode_chain(False, gc=gc_bf, unroll=args.unroll)
 
-        dc_bd = build_bd_chain(True)
-        dc_ph = build_bd_chain(False)
-        a_1, b_1 = interleave(lambda: float(dc_bd(params, batch, n=2)),
-                              lambda: float(dc_ph(params, batch, n=2)),
+        dc_a, dc_b = build(True), build(False)
+        a_1, b_1 = interleave(lambda: float(dc_a(params, batch, n=2)),
+                              lambda: float(dc_b(params, batch, n=2)),
                               args.reps)
-        a_2, b_2 = interleave(lambda: float(dc_bd(params, batch, n=6)),
-                              lambda: float(dc_ph(params, batch, n=6)),
+        a_2, b_2 = interleave(lambda: float(dc_a(params, batch, n=6)),
+                              lambda: float(dc_b(params, batch, n=6)),
                               args.reps)
-        bd = max(a_2 - a_1, 0.0) / 4 * 1e3
-        ph = max(b_2 - b_1, 0.0) / 4 * 1e3
-        print(f"beam batch  bd-cross: {bd:.2f} ms  per-head: {ph:.2f} ms  "
-              f"(bd speedup {ph / max(bd, 1e-9):.3f}x; batch {B}, "
+        a = max(a_2 - a_1, 0.0) / 4 * 1e3
+        b = max(b_2 - b_1, 0.0) / 4 * 1e3
+        print(f"beam batch  {label_a}: {a:.2f} ms  {label_b}: {b:.2f} ms  "
+              f"({label_a} speedup {b / max(a, 1e-9):.3f}x; batch {B}, "
               f"unroll {args.unroll})")
+
+    if args.what == "bdcross":
+        # Block-diagonal short-source cross-attention (models/model.py
+        # BIST_BD_CROSS) vs the per-head layout.
+        from bist_tpu.models import model as model_mod
+
+        flag_chain_ab(lambda v: setattr(model_mod, "BD_CROSS", v),
+                      "bd-cross", "per-head")
 
     if args.what == "regroupmm":
         # KV-cache parent regroup: one-hot matmul vs take_along_axis gather
-        # (decode/beam.py BIST_REGROUP_MM), shipped bf16-cache defaults.
+        # (decode/beam.py BIST_REGROUP_MM).
         from bist_tpu.decode import beam as beam_mod
 
-        gc_bf = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
-                               cache_dtype="bfloat16")
-
-        def build_rg_chain(mm: bool):
-            beam_mod.REGROUP_MM = mm
-            return build_decode_chain(False, gc=gc_bf, unroll=args.unroll)
-
-        dc_mm = build_rg_chain(True)
-        dc_g = build_rg_chain(False)
-        a_1, b_1 = interleave(lambda: float(dc_mm(params, batch, n=2)),
-                              lambda: float(dc_g(params, batch, n=2)),
-                              args.reps)
-        a_2, b_2 = interleave(lambda: float(dc_mm(params, batch, n=6)),
-                              lambda: float(dc_g(params, batch, n=6)),
-                              args.reps)
-        mm = max(a_2 - a_1, 0.0) / 4 * 1e3
-        g = max(b_2 - b_1, 0.0) / 4 * 1e3
-        print(f"beam batch  regroup-mm: {mm:.2f} ms  gather: {g:.2f} ms  "
-              f"(mm speedup {g / max(mm, 1e-9):.3f}x; batch {B}, "
-              f"unroll {args.unroll})")
+        flag_chain_ab(lambda v: setattr(beam_mod, "REGROUP_MM", v),
+                      "regroup-mm", "gather")
 
     if args.what == "decodeops":
         # ISOLATED op-level costs of one decode-step cross-attention at

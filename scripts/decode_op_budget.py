@@ -41,25 +41,22 @@ def main():
 
     from bist_tpu.config import GenerateConfig
     from bist_tpu.decode.beam import beam_search
+    from bist_tpu.export import abstract_batch
     from bist_tpu.models import model as model_mod
     from bist_tpu.models.model import init_model
-    from __graft_entry__ import _flagship_cfg, _random_batch
+    from __graft_entry__ import _flagship_cfg
 
     model_mod.BD_CROSS = bool(args.bd_cross)
-    import numpy as np
 
     cfg = _flagship_cfg(vocab_size=3000, dv=2048)
     gcfg = GenerateConfig(maxlen=12, beam=args.beam, penalty=1.0, nbest=5,
                           cache_dtype="bfloat16", scan_unroll=1)
     params = jax.eval_shape(lambda k: init_model(k, cfg),
                             jax.random.PRNGKey(0))
-    batch = _random_batch(np.random.default_rng(0), cfg, B=args.batch,
-                          Lq=32, Lh=256, Lc=64, Lt=4, T=32, S=16)
-    batch = batch._replace(trg=batch.trg[:, :1], trg_y=batch.trg_y[:, :1])
-    batch_avals = jax.tree_util.tree_map(
-        lambda x: None if x is None
-        else jax.ShapeDtypeStruct(np.shape(x), x.dtype), batch,
-        is_leaf=lambda x: x is None)
+    # shape-only analysis: abstract avals, nothing materialized
+    batch_avals = abstract_batch(
+        dict(B=args.batch, Lq=32, Lh=256, Lc=64, Lt=1, T=32, S=16,
+             Dv=2048), cfg)
 
     from jax import export as jexport
 

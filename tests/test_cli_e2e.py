@@ -158,19 +158,18 @@ def test_save_all_and_resume_from_mid_epoch(synth, tmp_path):
     best_epoch = min(val, key=val.get)       # 1-based (trace convention)
     assert load_checkpoint(model + "_best")["meta"]["epoch"] == best_epoch - 1
 
-    # resume from the MID checkpoint (epoch 1 of 2) and run through epoch 3:
-    # epochs 2 and 3 must train (fresh per-epoch checkpoints), epoch order
-    # in the trace must continue without repeats of the resumed epochs
-    n_trace_rows = len(trace)
+    # resume from the MID checkpoint (epoch 1 of 2) and run through epoch 4:
+    # epochs 2-4 must train (fresh per-epoch checkpoints); the stale
+    # epoch-2 rows from the first run are TRIMMED (round-4 fix), so the
+    # trace holds exactly one train + one val row per epoch, no duplicates
     run(common + ["--num-epochs", "4", "--resume", model + "_1"])
     for suffix in ("_2", "_3", "_4"):
         assert os.path.isdir(model + suffix), suffix
     trace2 = [l.split(",") for l in
               open(model + "_trace.csv").read().splitlines()[1:]]
-    new_rows = trace2[n_trace_rows:]
-    # resumed from the epoch-1 checkpoint (0-based epoch 0) → continues at
-    # 0-based epochs 1..3 = 1-based trace rows 2..4, no repeats of epoch 1
-    assert sorted({int(r[0]) for r in new_rows}) == [2, 3, 4]
+    from collections import Counter
+    assert Counter((int(r[0]), r[1]) for r in trace2) == {
+        (e, s): 1 for e in (1, 2, 3, 4) for s in ("train", "val")}
     # resumed best checkpoint stays loadable and generate can consume it
     out = str(tmp_path / "result_resumed.json")
     run(["generate.py",
@@ -180,3 +179,31 @@ def test_save_all_and_resume_from_mid_epoch(synth, tmp_path):
          "--decode-style", "greedy", "--output", out,
          "--gen-batch-size", "8", "--device", "cpu"])
     assert json.load(open(out))["dialogs"]
+
+
+def test_init_csv_logs_resume_trims_rewritten_epochs(tmp_path):
+    """Round-4 review: resuming from an EARLIER checkpoint than the log tail
+    (e.g. model_1 after 4 completed epochs) must drop the rows the resumed
+    run will rewrite — no epoch may carry two conflicting rows."""
+    from bist_tpu.train.loop import append_trace, init_csv_logs
+
+    prefix = str(tmp_path / "m")
+    train_log, trace_log = init_csv_logs(prefix)
+    losses = {"out": 1.0, "temporal_ae": 0.0, "spatial_ae": 0.0}
+    for e in range(4):
+        append_trace(trace_log, e, "train", losses)
+        append_trace(trace_log, e, "val", losses)
+        with open(train_log, "a") as f:
+            f.write(f"{e + 1},1,1e0,0e0,0e0\n")
+    # resume from the epoch-0 checkpoint: epochs 2..4 will be retrained
+    init_csv_logs(prefix, resume=True, start_epoch=1)
+    with open(trace_log) as f:
+        trace_epochs = [ln.split(",")[0] for ln in f.readlines()[1:]]
+    assert trace_epochs == ["1", "1"]
+    with open(train_log) as f:
+        train_epochs = [ln.split(",")[0] for ln in f.readlines()[1:]]
+    assert train_epochs == ["1"]
+    # fresh (non-resume) init still truncates to just the header
+    init_csv_logs(prefix)
+    with open(trace_log) as f:
+        assert len(f.readlines()) == 1

@@ -352,3 +352,22 @@ def test_warmup_geometries_covers_table(setup, tmp_path):
     bundle = load_bundle(str(tmp_path / "wg"))
     responder = bundle.make_responder()
     responder.warmup_geometries(bundle.geometries.values())   # must not raise
+
+
+def test_audio_geometries_cross_time_buckets():
+    """Round-4 review: serving buckets video T and audio Ta INDEPENDENTLY
+    (Responder.make_batch), so an audio bundle must carry the full T x Ta
+    cross product — a batch with 8-clip video but 4-frame audio needs the
+    T8/Ta4 program or the whole coalesced group KeyErrors."""
+    cfg = ModelConfig(vocab_size=8, nb_blocks=1, nb_venc_blocks=1,
+                      nb_cenc_blocks=1, nb_aenc_blocks=1, d_model=16,
+                      att_h=2, include_caption="summary",
+                      separate_caption=True, ft_sizes=(8, 4))
+    geoms = default_serving_geometries(cfg, batch_buckets=(2,), Lq=8, Lh=8,
+                                       Lc=8, T=(4, 8))
+    assert {(g["T"], g["Ta"]) for g in geoms} == {
+        (4, 4), (4, 8), (8, 4), (8, 8)}
+    # a single-int Ta opts back into one audio length (count linear in T)
+    geoms1 = default_serving_geometries(cfg, batch_buckets=(2,), Lq=8,
+                                        Lh=8, Lc=8, T=(4, 8), Ta=4)
+    assert {(g["T"], g["Ta"]) for g in geoms1} == {(4, 4), (8, 4)}

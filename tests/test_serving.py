@@ -355,3 +355,88 @@ def test_error_rate_counts_requests_not_batches():
     assert b.stats["errors"] == 4
     assert b.metrics()["error_rate"] == 0.5
     assert all(r._event.is_set() and r._error is not None for r in reqs)
+
+
+def test_clamp_preserves_boundary_tokens():
+    """Round-4 review: submit-time length clamping must keep SOS/EOS —
+    words2ids wraps text as [SOS, w.., EOS]; a plain head slice dropped the
+    EOS from over-long questions and a tail slice dropped the SOS from
+    over-long histories."""
+    from bist_tpu.serving import _clamp_head, _clamp_tail
+    from bist_tpu.vocab import EOS, SOS
+
+    ids = np.array([SOS, 5, 6, 7, 8, 9, EOS], np.int32)
+    h = _clamp_head(ids, 4)
+    assert len(h) == 4 and list(h[:3]) == [SOS, 5, 6] and h[-1] == EOS
+    t = _clamp_tail(ids, 4)
+    assert t[0] == SOS and list(t[1:]) == [8, 9, EOS]
+    # within-bucket sequences pass through untouched
+    assert _clamp_head(ids, 7) is ids
+    assert _clamp_tail(ids, 8) is ids
+
+
+def test_submit_rejects_malformed_audio():
+    """Round-4 review: audio gets the same fast-fail validation as video —
+    a malformed audio grid must be rejected at submit(), not poison its
+    coalesced neighbours in make_batch."""
+    from bist_tpu.models.model import init_model as _init
+
+    vocab = dict(SPECIALS)
+    vocab["what"] = len(vocab)
+    cfg = ModelConfig(vocab_size=len(vocab), nb_blocks=1, nb_venc_blocks=1,
+                      nb_cenc_blocks=1, nb_aenc_blocks=1, d_model=16,
+                      att_h=2, dropout=0.0, include_caption="none",
+                      separate_caption=False, ft_sizes=(8, 4))
+    params = _init(jax.random.PRNGKey(0), cfg)
+    gcfg = GenerateConfig(maxlen=2, beam=2, penalty=1.0, nbest=1)
+    r = Responder(params, cfg, vocab, gcfg, max_batch=2, len_buckets=(8,),
+                  time_buckets=(4,))
+    server = DynamicBatcher(r, max_batch=2)   # no start(): raises pre-queue
+    fts = np.zeros((4, 4, 8), np.float32)
+    with pytest.raises(ValueError, match="audio must be"):
+        server.submit("what", features=fts,
+                      audio=np.zeros((4,), np.float32))
+    with pytest.raises(ValueError, match="audio dim"):
+        server.submit("what", features=fts,
+                      audio=np.zeros((4, 99), np.float32))
+
+
+def test_jit_responder_serves_unpinned_grid(rng):
+    """Round-4 review: warmup() without an explicit feature_shape must NOT
+    pin the served grid to (16, Dv) — a JIT host keeps compiling for
+    whatever grid the deployed extractor produces, and one batcher serves
+    two different spatial grids concurrently (per-tail dispatch groups)."""
+    vocab = dict(SPECIALS)
+    for w in "what is he doing".split():
+        vocab[w] = len(vocab)
+    cfg = ModelConfig(vocab_size=len(vocab), nb_blocks=1, nb_venc_blocks=1,
+                      nb_cenc_blocks=1, d_model=16, att_h=2, dropout=0.0,
+                      include_caption="none", separate_caption=False,
+                      ft_sizes=(8,))
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    gcfg = GenerateConfig(maxlen=2, beam=2, penalty=1.0, nbest=1)
+    responder = Responder(params, cfg, vocab, gcfg, max_batch=2,
+                          len_buckets=(8,), time_buckets=(4,))
+    responder.warmup(t_clips=4, all_batch_buckets=False)
+    assert responder.feat_tail is None
+    server = DynamicBatcher(responder, max_batch=2, max_wait_ms=100)
+    server.start()
+    try:
+        results = {}
+
+        def ask(name, S):
+            results[name] = server.submit(
+                "what is he doing",
+                features=rng.standard_normal((4, S, 8)).astype(np.float32),
+                timeout=300.0)
+
+        ts = [threading.Thread(target=ask, args=("s4", 4)),
+              threading.Thread(target=ask, args=("s8", 8))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert set(results) == {"s4", "s8"}
+        assert all(isinstance(v, str) for v in results.values())
+    finally:
+        server.stop()

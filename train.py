@@ -266,7 +266,8 @@ def main(argv=None):
     train_step = make_train_step(cfg, tcfg, tx, grad_accum=args.grad_accum)
     eval_step = make_eval_step(cfg, tcfg)
     train_log, trace_log = init_csv_logs(args.model,
-                                         resume=bool(resume_path))
+                                         resume=bool(resume_path),
+                                         start_epoch=start_epoch)
     logging.info("Saving training results to %s", train_log)
 
     logging.info("----------------")
