@@ -76,6 +76,21 @@ class ModelConfig:
                 # make the constraint explicit.
                 raise ValueError(
                     f"{blocks_name}={n} must be 0 or equal nb_blocks={self.nb_blocks}")
+        if self.nb_cenc_blocks > 0 and not self.has_caption:
+            # The reference gates caption layers on nb_cenc_blocks alone and
+            # crashes on ft['encoded_cap'] when no separate caption stream
+            # exists (decoder.py:130-135 with mtn.py:43 encoded_cap=None);
+            # we make the constraint explicit.
+            raise ValueError(
+                "nb_cenc_blocks>0 requires a separate caption stream "
+                "(include_caption != 'none' and separate_caption); set "
+                "nb_cenc_blocks=0 for caption-less configs")
+        if self.nb_aenc_blocks > 0 and len(self.ft_sizes) < 2:
+            # Same latent crash on ft['encoded_audio'] (decoder.py:133-135
+            # with no audio feature input wired, encoder.py:84 a_W path).
+            raise ValueError(
+                "nb_aenc_blocks>0 requires an audio feature size "
+                "(ft_sizes[1]); set nb_aenc_blocks=0 for audio-less configs")
         if self.enc_st_combine not in ("none", "sum", "dyn", "early_sum", "early_dyn"):
             raise ValueError(f"bad enc_st_combine={self.enc_st_combine}")
         if self.enc_vc_combine not in ("none", "sum", "dyn"):
@@ -109,7 +124,24 @@ class ModelConfig:
 
     @property
     def ptr_ft_list(self) -> Tuple[str, ...]:
-        return tuple(self.ptr_ft.split(","))
+        """Pointer source streams, filtered to ones that EXIST.
+
+        The reference default ptr_ft='query,cap' is kept even for configs
+        with no separate caption stream, where the reference generator
+        crashes indexing batch.cap (generator.py:84-127).  Defined
+        semantics: caption-dependent sources drop out ('query,cap' →
+        'query'; 'query+cap' → 'query') — init and apply both read this
+        property, so pointer params stay consistent with it."""
+        srcs = []
+        for s in self.ptr_ft.split(","):
+            if not self.has_caption:
+                if s == "cap":
+                    continue
+                if s == "query+cap":
+                    s = "query"
+            if s not in srcs:
+                srcs.append(s)
+        return tuple(srcs) or ("query",)
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

@@ -151,3 +151,33 @@ def test_decode_step_beam_fold_equivalence(kw, rng):
                 np.testing.assert_allclose(folded[pos][b, k],
                                            np.asarray(lp1[0]),
                                            rtol=2e-4, atol=2e-5)
+
+
+def test_config_rejects_modality_layers_without_inputs():
+    """Round-4: the reference crashes on ft['encoded_cap']/['encoded_audio']
+    when caption/audio reasoning blocks are enabled without the matching
+    input stream (reference decoder.py:130-135); we reject the config
+    explicitly instead."""
+    import pytest
+
+    from bist_tpu.config import ModelConfig
+
+    with pytest.raises(ValueError, match="caption stream"):
+        ModelConfig(vocab_size=8, nb_blocks=1, nb_cenc_blocks=1,
+                    d_model=16, att_h=2, include_caption="none")
+    with pytest.raises(ValueError, match="separate caption"):
+        ModelConfig(vocab_size=8, nb_blocks=1, nb_cenc_blocks=1,
+                    d_model=16, att_h=2, include_caption="summary",
+                    separate_caption=False)
+    with pytest.raises(ValueError, match="audio feature size"):
+        ModelConfig(vocab_size=8, nb_blocks=1, nb_aenc_blocks=1,
+                    d_model=16, att_h=2, ft_sizes=(8,))
+    # pointer sources filter to existing streams (defined semantics for the
+    # reference's ptr_ft='query,cap' default in caption-less configs)
+    capless = ModelConfig(vocab_size=8, nb_blocks=1, d_model=16, att_h=2,
+                          include_caption="none")
+    assert capless.ptr_ft == "query,cap"          # .conf round-trip intact
+    assert capless.ptr_ft_list == ("query",)
+    withcap = ModelConfig(vocab_size=8, nb_blocks=1, d_model=16, att_h=2,
+                          include_caption="summary", separate_caption=True)
+    assert withcap.ptr_ft_list == ("query", "cap")

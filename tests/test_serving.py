@@ -384,7 +384,7 @@ def test_submit_rejects_malformed_audio():
     vocab = dict(SPECIALS)
     vocab["what"] = len(vocab)
     cfg = ModelConfig(vocab_size=len(vocab), nb_blocks=1, nb_venc_blocks=1,
-                      nb_cenc_blocks=1, nb_aenc_blocks=1, d_model=16,
+                      nb_cenc_blocks=0, nb_aenc_blocks=1, d_model=16,
                       att_h=2, dropout=0.0, include_caption="none",
                       separate_caption=False, ft_sizes=(8, 4))
     params = _init(jax.random.PRNGKey(0), cfg)
@@ -410,7 +410,7 @@ def test_jit_responder_serves_unpinned_grid(rng):
     for w in "what is he doing".split():
         vocab[w] = len(vocab)
     cfg = ModelConfig(vocab_size=len(vocab), nb_blocks=1, nb_venc_blocks=1,
-                      nb_cenc_blocks=1, d_model=16, att_h=2, dropout=0.0,
+                      nb_cenc_blocks=0, d_model=16, att_h=2, dropout=0.0,
                       include_caption="none", separate_caption=False,
                       ft_sizes=(8,))
     params = init_model(jax.random.PRNGKey(0), cfg)
