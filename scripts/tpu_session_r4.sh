@@ -44,9 +44,13 @@ run bundle_smoke 2400 python scripts/bundle_smoke.py
 run batcher_d1 1800 python scripts/bench_serving.py --clients 32 --requests 96 --pipeline-depth 1 --feat-int8 1 --dv 256 --t-clips 8
 run batcher_d2 1800 python scripts/bench_serving.py --clients 32 --requests 96 --pipeline-depth 2 --feat-int8 1 --dv 256 --t-clips 8
 
-# 6. extractor MFU push: batch sweep past 128, bf16 — VERDICT r3 #8
+# 6. extractor MFU push: batch sweep past 128, bf16 — VERDICT r3 #8 —
+#    and the space-to-depth stem A/B (BIST_STEM_S2D, round 4: the 7^3
+#    C_in=3 stem is ~43% of network FLOPs; s2d is the exact reformulation)
 run extractor_128 1800 python scripts/bench_extractor.py --batch 128 --bf16 1
 run extractor_192 1800 python scripts/bench_extractor.py --batch 192 --bf16 1
 run extractor_256 1800 python scripts/bench_extractor.py --batch 256 --bf16 1
+run extractor_128_nos2d 1800 env BIST_STEM_S2D=0 \
+    python scripts/bench_extractor.py --batch 128 --bf16 1
 
 echo "session complete; outputs in $OUT" | tee -a "$OUT/session.log"

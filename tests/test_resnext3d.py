@@ -153,3 +153,31 @@ def test_extract_video_features_sample_duration():
     f16 = extract_video_features(params, frames, stride=4, batch_size=4,
                                  sample_duration=16)
     assert not np.allclose(f8[0], f16[0])
+
+
+def test_stem_s2d_equals_direct_conv():
+    """The space-to-depth stem (round 4) is an EXACT reformulation of the
+    7x7x7 stride-(1,2,2) stem conv: same sums, reassociated — equality at
+    float tolerance on random weights/inputs, including the boundary
+    columns the asymmetric (2,1) padding covers."""
+    import numpy as np
+
+    from bist_tpu.models import resnext3d as rx
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((7, 7, 7, 3, 8)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 4, 24, 24, 3)).astype(np.float32))
+    direct = rx._conv3d(x, w, stride=(1, 2, 2))
+    s2d = jax.lax.conv_general_dilated(
+        rx._stem_s2d_input(x), rx._stem_s2d_kernel(w),
+        window_strides=(1, 1, 1), padding=[(3, 3), (2, 1), (2, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    assert s2d.shape == direct.shape
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct),
+                               atol=2e-4, rtol=2e-4)
+    # odd spatial extents fall back to the direct path inside _stem_conv
+    x_odd = jnp.asarray(
+        rng.standard_normal((1, 4, 23, 24, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(rx._stem_conv(x_odd, w)),
+        np.asarray(rx._conv3d(x_odd, w, stride=(1, 2, 2))))
