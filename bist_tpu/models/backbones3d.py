@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from bist_tpu.models.resnext3d import (_bn, _bn_identity, _conv3d,
-                                       _conv_init, _maxpool3d, BN_EPS)
+                                       _conv_init, _maxpool3d, _stem_conv,
+                                       BN_EPS)
 
 Params = Dict[str, Any]
 
@@ -210,8 +211,10 @@ def backbone_apply(arch: dict, params: Params, clips: jnp.ndarray,
     mode: 'feature' (N, D) post-avgpool | 'score' (N, classes) |
     'spatio_temporal' (N, S, D) pre-avgpool grid (channels last)."""
     x = clips
+    # space-to-depth stem (resnext3d._stem_conv, round 4): same 7³ C_in=3
+    # MXU pathology across the whole zoo
     x = jax.nn.relu(_bn(params["stem"]["bn"],
-                        _conv3d(x, params["stem"]["conv"], stride=(1, 2, 2))))
+                        _stem_conv(x, params["stem"]["conv"])))
     x = _maxpool3d(x)
     if arch["family"] == "densenet":
         for i, block in enumerate(params["blocks"]):
