@@ -91,6 +91,14 @@ def main(argv=None):
                         "measured 1.13x decode throughput on the v5e "
                         "(BENCH.md round 3) at ~6x warmup compile time; 1 "
                         "restores the plain loop")
+    p.add_argument("--feat-s", type=int, default=0,
+                   help="spatial grid size S of the deployed extractor's "
+                        "(T, S, Dv) features: pins the served grid at "
+                        "warmup (requests with other grids are rejected "
+                        "at submit) and sets the bundle-export S.  0 = "
+                        "unpinned on the jit path (grids compile on "
+                        "demand), 16 for bundle export (the ResNeXt "
+                        "default)")
     p.add_argument("--device", default="")
     args = p.parse_args(argv)
 
@@ -155,7 +163,8 @@ def main(argv=None):
             geoms = default_serving_geometries(
                 cfg, batch_buckets=responder.batch_buckets,
                 Lq=buckets(args.export_lq), Lh=buckets(args.export_lh),
-                Lc=buckets(args.export_lc), T=t_buckets, S=16,
+                Lc=buckets(args.export_lc), T=t_buckets,
+                S=(args.feat_s or 16),
                 Ta=(t_buckets[-1] if cfg.has_audio else None),
                 feat_int8=bool(args.feat_int8))
             platforms = tuple(args.export_platforms.split(",")) \
@@ -174,7 +183,10 @@ def main(argv=None):
         # compile (or KeyError) at serve time
         responder.warmup_geometries(bundle.geometries.values())
     else:
-        responder.warmup(all_batch_buckets=True)
+        responder.warmup(
+            feature_shape=((args.feat_s, cfg.ft_sizes[0])
+                           if args.feat_s and cfg.has_video else None),
+            all_batch_buckets=True)
     server_b = DynamicBatcher(responder, max_batch=args.max_batch,
                               max_wait_ms=args.max_wait_ms,
                               pipeline_depth=args.pipeline_depth)
