@@ -178,6 +178,11 @@ def main(argv=None):
     p.add_argument("--stride", type=int, default=4)
     p.add_argument("--batch_size", type=int, default=128,
                    help="clips per device batch; 128 measured optimal on v5e bf16 (BENCH.md round 3; padding waste is gone under --pack)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel devices for the conv stage (batch "
+                        "rows sharded over a ('data',) mesh, params "
+                        "replicated); 0 = auto (largest count dividing "
+                        "--batch_size), 1 = single device")
     p.add_argument("--pack", type=int, default=1,
                    help="pack clips ACROSS videos into full device batches "
                         "(short videos no longer pad out whole batches) and "
@@ -258,6 +263,28 @@ def main(argv=None):
             p, c.astype(jnp.bfloat16), mode).astype(jnp.float32))
     else:
         apply_fn = jax.jit(lambda p, c: backbone(p, c, mode))
+
+    # data-parallel conv stage: clip-batch rows sharded over a ('data',)
+    # mesh, params replicated, XLA runs every chip (the extraction analogue
+    # of training's mesh DP — rows are independent, so outputs are
+    # identical to single-device).  --dp 0 auto-sizes to the largest
+    # device count dividing --batch_size.
+    n_avail = len(jax.devices())
+    dp_n = args.dp if args.dp > 0 else max(
+        n for n in range(1, n_avail + 1) if args.batch_size % n == 0)
+    if dp_n > 1:
+        from bist_tpu.parallel.mesh import DataParallel
+
+        if args.batch_size % dp_n:
+            sys.exit(f"--batch_size {args.batch_size} not divisible by "
+                     f"--dp {dp_n}")
+        dpar = DataParallel(num_devices=dp_n)
+        params = dpar.put_replicated(params)
+        print(f"extraction mesh: {dp_n} of {n_avail} device(s)")
+        inner_fn = apply_fn
+
+        def apply_fn(p, c, _inner=inner_fn, _d=dpar):  # noqa: F811
+            return _inner(p, _d.shard(c))
 
     entries = sorted(
         glob.glob(os.path.join(args.video_root, "*.mp4"))

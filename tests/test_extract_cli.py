@@ -63,3 +63,22 @@ def test_packed_score_mode_and_skip(tmp_path, rng):
     extract_features.main(args)
     assert all(os.path.getmtime(out / f"{v}.json") == mt[v]
                for v in ("a", "b"))
+
+
+@pytest.mark.slow
+def test_dp_extraction_matches_single_device(tmp_path, rng):
+    """--dp N shards clip-batch rows over a ('data',) mesh (round 4).  Rows
+    are independent through the conv stack, so multi-device outputs equal
+    single-device bit-for-bit."""
+    vroot = tmp_path / "videos"
+    _make_videos(str(vroot), rng, {"a": 20, "b": 12})
+    base = ["--video_root", str(vroot), "--stride", "8", "--batch_size", "4",
+            "--mode", "feature", "--spatio_temporal", "1"]
+    out1 = str(tmp_path / "dp1")
+    out4 = str(tmp_path / "dp4")
+    extract_features.main(base + ["--output", out1, "--dp", "1"])
+    extract_features.main(base + ["--output", out4, "--dp", "4"])
+    for vid in ("a", "b"):
+        x1 = np.load(os.path.join(out1, vid + ".npy"))
+        x4 = np.load(os.path.join(out4, vid + ".npy"))
+        np.testing.assert_array_equal(x1, x4)
