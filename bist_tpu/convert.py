@@ -205,3 +205,229 @@ def import_reference_checkpoint(pth_path: str, conf_path: str,
     cfg = config_from_ref_args(train_args, len(vocab), tuple(ft_sizes))
     params = params_from_torch_model(model, cfg)
     return params, cfg, vocab
+
+
+# ---------------------------------------------------------------------------
+# Export: our params → a checkpoint the REFERENCE stack can load and run.
+#
+# The reverse migration path (MIGRATING.md): torch.save of a reference MTN
+# module built from our pytree (generate.py:89-93 torch.loads the whole
+# module) plus the pickled (vocab, args) companion (train.py:105-107), so
+# `python generate.py --model <prefix>` in the reference repo decodes with
+# weights trained here.  The weight walkers below are the exact inverses of
+# the _mha/_ffn/_vid_layer/... extractors above and are shared with the
+# parity-test harness (tests/test_torch_parity.py imports them).
+# ---------------------------------------------------------------------------
+
+
+def _torch():
+    import torch
+
+    # the reference generator hard-codes .cuda() (generator.py:66,113)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    return torch
+
+
+def _t(x):
+    return _torch().from_numpy(np.asarray(x))
+
+
+def set_linear(tl, p) -> None:
+    with _torch().no_grad():
+        tl.weight.copy_(_t(p["w"]).T)
+        tl.bias.copy_(_t(p["b"]))
+
+
+def set_norm(tn, p) -> None:
+    with _torch().no_grad():
+        tn.a_2.copy_(_t(p["scale"]))
+        tn.b_2.copy_(_t(p["bias"]))
+
+
+def set_mha(tm, p) -> None:
+    for tl, key in zip(tm.linears, ("wq", "wk", "wv", "wo")):
+        set_linear(tl, p[key])
+
+
+def set_ffn(tf, p) -> None:
+    set_linear(tf.w_1, p["w1"])
+    set_linear(tf.w_2, p["w2"])
+
+
+def set_vid_layer(tv, p, cfg: ModelConfig) -> None:
+    # attn order [t2s_self, t2s_hop1, t2s_hop2, s2t_self, s2t_hop1,
+    # s2t_hop2], ff [t2s_ff, s2t_ff], sublayer norms interleaved
+    # (reference encoder.py:172-199)
+    names = []
+    if cfg.t2s:
+        names += ["t2s_self", "t2s_hop1", "t2s_hop2"]
+    if cfg.s2t:
+        names += ["s2t_self", "s2t_hop1", "s2t_hop2"]
+    for tm, n in zip(tv.attn, names):
+        set_mha(tm, p[n]["attn"])
+    ffs = (["t2s_ff"] if cfg.t2s else []) + (["s2t_ff"] if cfg.s2t else [])
+    for tf, n in zip(tv.ff, ffs):
+        set_ffn(tf, p[n]["ff"])
+    subs = []
+    if cfg.t2s:
+        subs += ["t2s_self", "t2s_hop1", "t2s_hop2", "t2s_ff"]
+    if cfg.s2t:
+        subs += ["s2t_self", "s2t_hop1", "s2t_hop2", "s2t_ff"]
+    for ts, n in zip(tv.sublayer, subs):
+        set_norm(ts.norm, p[n]["norm"])
+    if cfg.enc_st_combine in ("early_sum", "early_dyn") and cfg.both_directions:
+        set_norm(tv.out_norm, p["out_norm"])
+        if cfg.enc_st_combine == "early_dyn":
+            set_linear(tv.st_combine_W, p["st_combine_W"])
+
+
+def set_ctx_layer(tc, p) -> None:
+    set_mha(tc.attn[0], p["self"]["attn"])
+    set_mha(tc.attn[1], p["cross"]["attn"])
+    set_ffn(tc.ff, p["ff"]["ff"])
+    for ts, n in zip(tc.sublayer, ("self", "cross", "ff")):
+        set_norm(ts.norm, p[n]["norm"])
+
+
+def set_mm_layer(tm, p, cfg: ModelConfig) -> None:
+    from bist_tpu.models.bist import mm_layer_cross_slots
+
+    names = ["self", "his", "query"] + [s[0] for s in mm_layer_cross_slots(cfg)]
+    for t, n in zip(tm.attn, names):
+        set_mha(t, p[n]["attn"])
+    set_ffn(tm.ff, p["ff"]["ff"])
+    for ts, n in zip(tm.sublayer, names + ["ff"]):
+        set_norm(ts.norm, p[n]["norm"])
+
+
+def ref_args_from_config(cfg: ModelConfig, **data_flags):
+    """ModelConfig → the argparse namespace the reference pickles into
+    `.conf` (the inverse of config_from_ref_args).  `data_flags` overrides
+    the data-side fields the reference's generate.py reads from train_args
+    (generate.py:100-109): fea_type, skip, max_history_length,
+    merge_source — defaults match configs/train_configs.py."""
+    import types
+
+    a = types.SimpleNamespace()
+    a.nb_blocks = cfg.nb_blocks
+    a.nb_venc_blocks = cfg.nb_venc_blocks
+    a.nb_cenc_blocks = cfg.nb_cenc_blocks
+    a.nb_aenc_blocks = cfg.nb_aenc_blocks
+    a.d_model = cfg.d_model
+    a.att_h = cfg.att_h
+    a.dropout = cfg.dropout
+    a.ptr_gen = int(cfg.ptr_gen)
+    a.ptr_ft = cfg.ptr_ft
+    a.mask_unk = int(cfg.mask_unk)
+    a.dec_st_combine = cfg.dec_st_combine
+    a.enc_st_combine = cfg.enc_st_combine
+    a.enc_vc_combine = cfg.enc_vc_combine
+    a.auto_encoder = int(cfg.auto_encoder)
+    a.t2s = 1 if cfg.t2s else 0
+    a.s2t = 1 if cfg.s2t else 0
+    a.include_caption = cfg.include_caption
+    a.separate_caption = int(cfg.separate_caption)
+    # encoder.py:84 reads the UNDEFINED args.noW_venc on the audio path (a
+    # latent AttributeError in the reference, SURVEY §2.1 #9) — define the
+    # only value under which the reference runs at all
+    a.noW_venc = False
+    a.fea_type = (["resnext_st", "vggish"] if cfg.has_audio
+                  else ["resnext_st"]) if cfg.has_video else []
+    a.skip = 1
+    a.max_history_length = -1
+    a.merge_source = 0
+    for k, v in data_flags.items():
+        setattr(a, k, v)
+    return a
+
+
+def build_reference_model(params, cfg: ModelConfig,
+                          reference_root: Optional[str] = None,
+                          ref_mtn=None, args=None):
+    """Build the reference MTN module carrying our params (weights equal ⇒
+    forwards equal, tests/test_torch_parity.py).  Pass `ref_mtn` if the
+    reference model.mtn module is already imported, else `reference_root`."""
+    torch = _torch()
+    if ref_mtn is None:
+        if reference_root is None:
+            raise ValueError("need reference_root or ref_mtn")
+        sys.path.insert(0, reference_root)
+        try:
+            import model.mtn as ref_mtn  # type: ignore[no-redef]
+        finally:
+            sys.path.remove(reference_root)
+    if args is None:
+        args = ref_args_from_config(cfg)
+    model = ref_mtn.make_model(cfg.vocab_size, cfg.vocab_size, args,
+                               ft_sizes=list(cfg.ft_sizes))
+    model.eval()
+    with torch.no_grad():
+        model.query_embed[0].lut.weight.copy_(_t(params["embed"]["lut"]))
+    # text encoder norms (index advance over non-None: query, cap, his)
+    for i, n in enumerate(params["text_enc"]["norms"]):
+        set_norm(model.text_encoder.norm[i], n)
+    if cfg.has_video:
+        set_linear(model.vid_encoder.W, params["vid_enc"]["W"])
+        set_norm(model.vid_encoder.in_norm, params["vid_enc"]["in_norm"])
+    if cfg.has_audio:
+        set_linear(model.vid_encoder.a_W, params["vid_enc"]["a_W"])
+        set_norm(model.vid_encoder.a_in_norm, params["vid_enc"]["a_in_norm"])
+    dec = params["decoder"]
+    tdec = model.mutlimodal_decoder
+    for n in range(cfg.nb_blocks):
+        set_mm_layer(tdec.layers[n], dec["mm_layers"][n], cfg)
+        if cfg.nb_venc_blocks > 0:
+            set_vid_layer(tdec.v_layers[n], dec["v_layers"][n], cfg)
+        if cfg.use_cap_layers:
+            set_ctx_layer(tdec.c_layers[n], dec["c_layers"][n])
+        if cfg.nb_aenc_blocks > 0:
+            set_ctx_layer(tdec.a_layers[n], dec["a_layers"][n])
+    set_norm(tdec.norm, dec["norm"])
+    if cfg.nb_venc_blocks > 0 and (cfg.enc_st_combine == "none"
+                                   or not cfg.both_directions):
+        if cfg.s2t:
+            set_norm(tdec.temporal_out_norm, dec["temporal_out_norm"])
+        if cfg.t2s:
+            set_norm(tdec.spatial_out_norm, dec["spatial_out_norm"])
+    if cfg.use_cap_layers:
+        set_norm(tdec.cap_out_norm, dec["cap_out_norm"])
+    if cfg.nb_aenc_blocks > 0:
+        set_norm(tdec.a_out_norm, dec["a_out_norm"])
+    if cfg.nb_venc_blocks > 0 and cfg.use_cap_layers \
+            and cfg.enc_vc_combine == "dyn":
+        set_linear(tdec.vc_combine_W, dec["vc_combine_W"])
+    if cfg.ptr_gen and len(cfg.ptr_ft_list) > 1:
+        for i in range(len(cfg.ptr_ft_list)):
+            set_mha(model.generator.pointer_attn[i],
+                    params["gen"]["pointer_attn"][i])
+        set_linear(model.generator.pointer_gen_W,
+                   params["gen"]["pointer_gen_W"])
+    elif cfg.ptr_gen:
+        set_mha(model.generator.pointer_attn,
+                params["gen"]["pointer_attn"][0])
+        set_linear(model.generator.pointer_gen_W,
+                   params["gen"]["pointer_gen_W"])
+    return model
+
+
+def export_reference_checkpoint(params, cfg: ModelConfig, vocab,
+                                out_prefix: str, reference_root: str,
+                                **data_flags) -> Tuple[str, str]:
+    """Write `<out_prefix>_best.pth.tar` + `<out_prefix>.conf` that the
+    reference repo loads directly (generate.py:89-93): the reverse of
+    import_reference_checkpoint, completing bidirectional weight
+    compatibility.  Returns (pth_path, conf_path).
+
+    The pickled module references the reference's own classes (model.mtn
+    etc.), so loading it requires the reference repo on sys.path — exactly
+    the reference's own deployment contract."""
+    torch = _torch()
+    args = ref_args_from_config(cfg, **data_flags)
+    model = build_reference_model(params, cfg, reference_root=reference_root,
+                                  args=args)
+    pth = out_prefix + "_best.pth.tar"
+    conf = out_prefix + ".conf"
+    torch.save(model, pth)
+    with open(conf, "wb") as f:
+        pickle.dump((vocab, args), f, -1)
+    return pth, conf

@@ -80,3 +80,81 @@ def test_import_reference_checkpoint(tmp_path, rng):
     our_logp, _ = forward_logprobs(params, cfg, our_batch, rngs=None)
     np.testing.assert_allclose(np.asarray(our_logp), ref_logp,
                                rtol=5e-4, atol=5e-4)
+
+
+def test_export_reference_checkpoint_roundtrip(tmp_path, rng):
+    """Reverse migration (round 4): our trained params → a reference-format
+    checkpoint pair (`<prefix>_best.pth.tar` + `<prefix>.conf`) that loads
+    through BOTH consumers — our own import_reference_checkpoint (params
+    identical leaf-for-leaf) and a plain torch.load the way the reference's
+    generate.py:89-93 does (forward equality vs our JAX forward)."""
+    import torch
+
+    from bist_tpu.config import ModelConfig
+    from bist_tpu.convert import (export_reference_checkpoint,
+                                  import_reference_checkpoint)
+    from bist_tpu.models.model import forward_logprobs, init_model
+    from bist_tpu.data.batching import Batch
+    from bist_tpu.vocab import PAD
+    import jax
+
+    cfg = ModelConfig(vocab_size=60, nb_blocks=2, nb_venc_blocks=2,
+                      nb_cenc_blocks=2, d_model=16, att_h=2, dropout=0.0,
+                      include_caption="summary", separate_caption=True,
+                      ft_sizes=(24,), enc_st_combine="none",
+                      enc_vc_combine="dyn", dec_st_combine="seq")
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    vocab = {"<unk>": 0, "<blank>": 1, "<sos>": 2, "<eos>": 3}
+    vocab.update({f"w{i}": i for i in range(4, 60)})
+
+    pth, conf = export_reference_checkpoint(
+        params, cfg, vocab, str(tmp_path / "mtn"), reference_root=REF)
+    assert pth.endswith("_best.pth.tar") and conf.endswith(".conf")
+
+    # consumer 1: our importer — exact round trip
+    params2, cfg2, vocab2 = import_reference_checkpoint(
+        pth, conf, reference_root=REF)
+    assert cfg2 == cfg and vocab2 == vocab
+    leaves1 = jax.tree_util.tree_leaves_with_path(params)
+    leaves2 = dict(jax.tree_util.tree_leaves_with_path(params2))
+    assert len(leaves1) == len(leaves2)
+    for path, leaf in leaves1:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(leaves2[path]),
+                                      err_msg=str(path))
+
+    # consumer 2: the reference's own load path (generate.py:89-93) —
+    # torch.load of the whole module + pickled (vocab, args), then forward
+    sys.path.insert(0, REF)
+    try:
+        import data.dataset as ref_dataset
+        model = torch.load(pth, map_location="cpu", weights_only=False)
+    finally:
+        sys.path.remove(REF)
+    with open(conf, "rb") as f:
+        vocab3, args = pickle.load(f)
+    assert vocab3 == vocab and args.fea_type == ["resnext_st"]
+    model.eval()
+
+    B = 2
+
+    def toks(L):
+        x = rng.integers(4, 60, size=(B, L)).astype(np.int64)
+        x[:, -1] = PAD
+        return x
+
+    q, h_, c, t = toks(5), toks(7), toks(4), toks(6)
+    fts = rng.standard_normal((B, 3, 4, 24)).astype(np.float32)
+    ref_batch = ref_dataset.Batch(
+        torch.from_numpy(q), torch.from_numpy(h_), [fts],
+        torch.from_numpy(c), torch.from_numpy(t), torch.from_numpy(t),
+        PAD, ["v0", "v1"], [0, 1])
+    with torch.no_grad():
+        ft = model.forward(ref_batch)
+        ref_logp = model.generator(ft, ref_batch, args).numpy()
+    our_batch = Batch(query=q.astype(np.int32), his=h_.astype(np.int32),
+                      trg=t.astype(np.int32), trg_y=t.astype(np.int32),
+                      cap=c.astype(np.int32), fts=fts, audio_fts=None)
+    our_logp, _ = forward_logprobs(params, cfg, our_batch, rngs=None)
+    np.testing.assert_allclose(np.asarray(our_logp), ref_logp,
+                               rtol=5e-4, atol=5e-4)

@@ -11,7 +11,6 @@ it is imported in place purely as a test oracle."""
 
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -24,36 +23,19 @@ import jax
 import jax.numpy as jnp
 
 from bist_tpu.config import ModelConfig
+from bist_tpu.convert import (build_reference_model, ref_args_from_config,
+                              set_ctx_layer, set_ffn, set_linear, set_mha,
+                              set_mm_layer, set_norm, set_vid_layer)
 from bist_tpu.data.batching import Batch
 from bist_tpu.models.model import forward_logprobs, init_model
 from bist_tpu.vocab import PAD
 
 
-def make_ref_args(cfg: ModelConfig):
-    a = types.SimpleNamespace()
-    a.nb_blocks = cfg.nb_blocks
-    a.nb_venc_blocks = cfg.nb_venc_blocks
-    a.nb_cenc_blocks = cfg.nb_cenc_blocks
-    a.nb_aenc_blocks = cfg.nb_aenc_blocks
-    a.d_model = cfg.d_model
-    a.att_h = cfg.att_h
-    a.dropout = cfg.dropout
-    a.ptr_gen = cfg.ptr_gen
-    a.ptr_ft = cfg.ptr_ft
-    a.mask_unk = cfg.mask_unk
-    a.dec_st_combine = cfg.dec_st_combine
-    a.enc_st_combine = cfg.enc_st_combine
-    a.enc_vc_combine = cfg.enc_vc_combine
-    a.auto_encoder = cfg.auto_encoder
-    a.t2s = 1 if cfg.t2s else 0
-    a.s2t = 1 if cfg.s2t else 0
-    a.include_caption = cfg.include_caption
-    a.separate_caption = cfg.separate_caption
-    # encoder.py:84 reads the UNDEFINED args.noW_venc on the audio path (a
-    # latent AttributeError in the reference, SURVEY §2.1 #9) — define the
-    # only value under which the reference runs at all
-    a.noW_venc = False
-    return a
+# the reverse-migration walkers moved into the library proper (round 4:
+# bist_tpu/convert.py export_reference_checkpoint); this file keeps its
+# historical names as aliases — the forward-equality assertions below remain
+# the oracle that proves the shared walkers correct
+make_ref_args = ref_args_from_config
 
 
 @pytest.fixture(scope="module")
@@ -77,128 +59,26 @@ def _t(x):
     return torch.from_numpy(np.asarray(x))
 
 
-def copy_linear(tl, p):
-    import torch
-
-    with torch.no_grad():
-        tl.weight.copy_(_t(p["w"]).T)
-        tl.bias.copy_(_t(p["b"]))
-
-
-def copy_norm(tn, p):
-    import torch
-
-    with torch.no_grad():
-        tn.a_2.copy_(_t(p["scale"]))
-        tn.b_2.copy_(_t(p["bias"]))
-
-
-def copy_mha(tm, p):
-    for tl, key in zip(tm.linears, ("wq", "wk", "wv", "wo")):
-        copy_linear(tl, p[key])
-
-
-def copy_ffn(tf, p):
-    copy_linear(tf.w_1, p["w1"])
-    copy_linear(tf.w_2, p["w2"])
+# aliases kept for the other parity-test files (training dynamics, quality,
+# convert round-trip) that import this harness by its historical names
+copy_linear = set_linear
+copy_norm = set_norm
+copy_mha = set_mha
+copy_ffn = set_ffn
+copy_ctx_layer = set_ctx_layer
 
 
 def copy_vid_layer(tv, p, cfg):
-    # attn order [t2s_self, t2s_hop1, t2s_hop2, s2t_self, s2t_hop1, s2t_hop2],
-    # ff [t2s_ff, s2t_ff], sublayer norms interleaved (encoder.py:172-199)
-    names = []
-    if cfg.t2s:
-        names += ["t2s_self", "t2s_hop1", "t2s_hop2"]
-    if cfg.s2t:
-        names += ["s2t_self", "s2t_hop1", "s2t_hop2"]
-    for tm, n in zip(tv.attn, names):
-        copy_mha(tm, p[n]["attn"])
-    ffs = (["t2s_ff"] if cfg.t2s else []) + (["s2t_ff"] if cfg.s2t else [])
-    for tf, n in zip(tv.ff, ffs):
-        copy_ffn(tf, p[n]["ff"])
-    subs = []
-    if cfg.t2s:
-        subs += ["t2s_self", "t2s_hop1", "t2s_hop2", "t2s_ff"]
-    if cfg.s2t:
-        subs += ["s2t_self", "s2t_hop1", "s2t_hop2", "s2t_ff"]
-    for ts, n in zip(tv.sublayer, subs):
-        copy_norm(ts.norm, p[n]["norm"])
-    if cfg.enc_st_combine in ("early_sum", "early_dyn") and cfg.both_directions:
-        copy_norm(tv.out_norm, p["out_norm"])
-        if cfg.enc_st_combine == "early_dyn":
-            copy_linear(tv.st_combine_W, p["st_combine_W"])
-
-
-def copy_ctx_layer(tc, p):
-    copy_mha(tc.attn[0], p["self"]["attn"])
-    copy_mha(tc.attn[1], p["cross"]["attn"])
-    copy_ffn(tc.ff, p["ff"]["ff"])
-    for ts, n in zip(tc.sublayer, ("self", "cross", "ff")):
-        copy_norm(ts.norm, p[n]["norm"])
+    set_vid_layer(tv, p, cfg)
 
 
 def copy_mm_layer(tm, p, cfg):
-    from bist_tpu.models.bist import mm_layer_cross_slots
-
-    slot_names = [s[0] for s in mm_layer_cross_slots(cfg)]
-    names = ["self", "his", "query"] + slot_names
-    for t, n in zip(tm.attn, names):
-        copy_mha(t, p[n]["attn"])
-    copy_ffn(tm.ff, p["ff"]["ff"])
-    for ts, n in zip(tm.sublayer, names + ["ff"]):
-        copy_norm(ts.norm, p[n]["norm"])
+    set_mm_layer(tm, p, cfg)
 
 
 def build_ref_model_with_our_params(ref_mtn, cfg, params):
-    import torch
-
     args = make_ref_args(cfg)
-    model = ref_mtn.make_model(cfg.vocab_size, cfg.vocab_size, args,
-                               ft_sizes=list(cfg.ft_sizes))
-    model.eval()
-    with torch.no_grad():
-        model.query_embed[0].lut.weight.copy_(_t(params["embed"]["lut"]))
-    # text encoder norms (index advance over non-None: query, cap, his)
-    norms = params["text_enc"]["norms"]
-    for i in range(3):
-        copy_norm(model.text_encoder.norm[i], norms[i])
-    if cfg.has_video:
-        copy_linear(model.vid_encoder.W, params["vid_enc"]["W"])
-        copy_norm(model.vid_encoder.in_norm, params["vid_enc"]["in_norm"])
-    if cfg.has_audio:
-        copy_linear(model.vid_encoder.a_W, params["vid_enc"]["a_W"])
-        copy_norm(model.vid_encoder.a_in_norm, params["vid_enc"]["a_in_norm"])
-    dec = params["decoder"]
-    tdec = model.mutlimodal_decoder
-    for n in range(cfg.nb_blocks):
-        copy_mm_layer(tdec.layers[n], dec["mm_layers"][n], cfg)
-        if cfg.nb_venc_blocks > 0:
-            copy_vid_layer(tdec.v_layers[n], dec["v_layers"][n], cfg)
-        if cfg.use_cap_layers:
-            copy_ctx_layer(tdec.c_layers[n], dec["c_layers"][n])
-        if cfg.nb_aenc_blocks > 0:
-            copy_ctx_layer(tdec.a_layers[n], dec["a_layers"][n])
-    copy_norm(tdec.norm, dec["norm"])
-    if cfg.nb_venc_blocks > 0 and (cfg.enc_st_combine == "none"
-                                   or not cfg.both_directions):
-        if cfg.s2t:
-            copy_norm(tdec.temporal_out_norm, dec["temporal_out_norm"])
-        if cfg.t2s:
-            copy_norm(tdec.spatial_out_norm, dec["spatial_out_norm"])
-    if cfg.use_cap_layers:
-        copy_norm(tdec.cap_out_norm, dec["cap_out_norm"])
-    if cfg.nb_aenc_blocks > 0:
-        copy_norm(tdec.a_out_norm, dec["a_out_norm"])
-    if cfg.nb_venc_blocks > 0 and cfg.use_cap_layers \
-            and cfg.enc_vc_combine == "dyn":
-        copy_linear(tdec.vc_combine_W, dec["vc_combine_W"])
-    # generator (MultiPointerGenerator)
-    if cfg.ptr_gen and len(cfg.ptr_ft_list) > 1:
-        for i in range(len(cfg.ptr_ft_list)):
-            copy_mha(model.generator.pointer_attn[i],
-                     params["gen"]["pointer_attn"][i])
-        copy_linear(model.generator.pointer_gen_W,
-                    params["gen"]["pointer_gen_W"])
+    model = build_reference_model(params, cfg, ref_mtn=ref_mtn, args=args)
     return model, args
 
 
