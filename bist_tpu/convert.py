@@ -389,6 +389,11 @@ def build_reference_model(params, cfg: ModelConfig,
             set_norm(tdec.temporal_out_norm, dec["temporal_out_norm"])
         if cfg.t2s:
             set_norm(tdec.spatial_out_norm, dec["spatial_out_norm"])
+    elif cfg.nb_venc_blocks > 0 and cfg.enc_st_combine in ("sum", "dyn"):
+        # decoder-level st fusion (reference decoder.py:75-80)
+        set_norm(tdec.out_norm, dec["out_norm"])
+        if cfg.enc_st_combine == "dyn":
+            set_linear(tdec.st_combine_W, dec["st_combine_W"])
     if cfg.use_cap_layers:
         set_norm(tdec.cap_out_norm, dec["cap_out_norm"])
     if cfg.nb_aenc_blocks > 0:

@@ -286,3 +286,73 @@ def test_forward_matches_reference_early_fusion(ref_modules, rng, combine):
     our_logp, _ = forward_logprobs(params, cfg, our_batch, rngs=None)
     np.testing.assert_allclose(np.asarray(our_logp), ref_logp,
                                rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fusion-mode parity matrix (round 4): every combine-mode combination the
+# REFERENCE can actually run, forward-compared at 5e-4.  Modes where the
+# reference crashes are documented in SURVEY §7 / bist.py:12-17 and covered
+# by our own self-consistency tests instead (test_model_forward).
+# nb=1 where the reference's grid-clobbering bug forbids deeper stacks
+# (decoder.py:117-129 writes the fused grid back over ft, so a second
+# v-layer reads a (B,L,D) tensor where it expects (B,T,S,D)).
+# ---------------------------------------------------------------------------
+
+FUSION_MATRIX = [
+    # (enc_st, enc_vc, dec_st, t2s, s2t, nb_blocks)
+    ("dyn", "dyn", "seq", True, True, 1),
+    # early_* fuse INSIDE the vid layer; the reference's vc fusion paths
+    # read temporal_ft/spatial_ft which early_* never sets (decoder.py:
+    # 123 vs 146-152 — a latent KeyError), so the only reference-runnable
+    # vc mode there is 'none' (mm layer reads spatiotemporal_ft directly,
+    # decoder.py:53-55).  early_* + vc dyn is OUR clean-semantics
+    # extension (2-way sigmoid like sum/dyn), self-tested only.  nb=1:
+    # like sum/dyn, early_* seeds the next vid layer's in_ft with the
+    # 3-D fused tensor, so layer 2's temporal2spatial permute crashes
+    # (encoder.py:111, the same clobbering family).
+    ("early_sum", "none", "seq", True, True, 1),
+    ("early_dyn", "none", "seq", True, True, 1),
+    ("none", "none", "seq", True, True, 2),
+    ("none", "sum", "seq", True, True, 2),
+    ("none", "dyn", "sum", True, True, 2),     # parallel-sum mm combine
+    ("none", "dyn", "seq", True, False, 2),    # t2s only
+    ("none", "dyn", "seq", False, True, 2),    # s2t only
+]
+
+
+@pytest.mark.parametrize("enc_st,enc_vc,dec_st,t2s,s2t,nb", FUSION_MATRIX)
+def test_forward_parity_fusion_matrix(ref_modules, rng, enc_st, enc_vc,
+                                      dec_st, t2s, s2t, nb):
+    import torch
+
+    ref_mtn, ref_dataset = ref_modules
+    cfg = ModelConfig(vocab_size=60, nb_blocks=nb, nb_venc_blocks=nb,
+                      nb_cenc_blocks=nb, d_model=16, att_h=2, dropout=0.0,
+                      include_caption="summary", separate_caption=True,
+                      ft_sizes=(24,), enc_st_combine=enc_st,
+                      enc_vc_combine=enc_vc, dec_st_combine=dec_st,
+                      t2s=t2s, s2t=s2t)
+    params = init_model(jax.random.PRNGKey(13), cfg)
+    model, args = build_ref_model_with_our_params(ref_mtn, cfg, params)
+
+    B = 2
+
+    def toks(L):
+        x = rng.integers(4, 60, size=(B, L)).astype(np.int64)
+        x[:, -1] = PAD
+        return x
+
+    q, h_, c, t = toks(5), toks(7), toks(4), toks(6)
+    fts = rng.standard_normal((B, 3, 4, 24)).astype(np.float32)
+    fts[:, -1] = 0.0
+    ref_batch = ref_dataset.Batch(_t(q), _t(h_), [fts], _t(c), _t(t), _t(t),
+                                  PAD, ["v0", "v1"], [0, 1])
+    with torch.no_grad():
+        ft = model.forward(ref_batch)
+        ref_logp = model.generator(ft, ref_batch, args).numpy()
+    our_batch = Batch(query=q.astype(np.int32), his=h_.astype(np.int32),
+                      trg=t.astype(np.int32), trg_y=t.astype(np.int32),
+                      cap=c.astype(np.int32), fts=fts, audio_fts=None)
+    our_logp, _ = forward_logprobs(params, cfg, our_batch, rngs=None)
+    np.testing.assert_allclose(np.asarray(our_logp), ref_logp,
+                               rtol=5e-4, atol=5e-4)
