@@ -356,3 +356,60 @@ def test_forward_parity_fusion_matrix(ref_modules, rng, enc_st, enc_vc,
     our_logp, _ = forward_logprobs(params, cfg, our_batch, rngs=None)
     np.testing.assert_allclose(np.asarray(our_logp), ref_logp,
                                rtol=5e-4, atol=5e-4)
+
+
+AUDIO_MATRIX = [
+    # (include_caption, nb_cenc, enc_vc, ptr_ft)
+    # vc 'sum' with audio: the reference SUMS only temporal+spatial+cap
+    # (decoder.py:140) — audio_ft feeds the AE loss but not encoded_ft;
+    # parity here proves we reproduce that quirk rather than "fixing" it
+    ("summary", 2, "sum", "query,cap"),
+    # no caption at all: vid+audio through the v>0,c==0 dyn gate
+    # (decoder.py:168-181); needs ptr_ft=query — the reference's
+    # MultiPointerGenerator crashes pointing at an absent caption
+    ("none", 0, "dyn", "query"),
+]
+
+
+@pytest.mark.parametrize("inc_cap,nb_cenc,enc_vc,ptr_ft", AUDIO_MATRIX)
+def test_forward_parity_audio_matrix(ref_modules, rng, inc_cap, nb_cenc,
+                                     enc_vc, ptr_ft):
+    import torch
+
+    ref_mtn, ref_dataset = ref_modules
+    cfg = ModelConfig(vocab_size=60, nb_blocks=2, nb_venc_blocks=2,
+                      nb_cenc_blocks=nb_cenc, nb_aenc_blocks=2, d_model=16,
+                      att_h=2, dropout=0.0, include_caption=inc_cap,
+                      separate_caption=(inc_cap != "none"),
+                      ft_sizes=(24, 12), enc_st_combine="none",
+                      enc_vc_combine=enc_vc, dec_st_combine="seq",
+                      ptr_ft=ptr_ft)
+    params = init_model(jax.random.PRNGKey(17), cfg)
+    model, args = build_ref_model_with_our_params(ref_mtn, cfg, params)
+
+    B = 2
+
+    def toks(L):
+        x = rng.integers(4, 60, size=(B, L)).astype(np.int64)
+        x[:, -1] = PAD
+        return x
+
+    q, h_, t, ty = toks(5), toks(7), toks(6), toks(6)
+    c = toks(4) if inc_cap != "none" else None
+    fts = rng.standard_normal((B, 3, 4, 24)).astype(np.float32)
+    audio = rng.standard_normal((B, 5, 12)).astype(np.float32)
+    audio[:, -1] = 0.0
+    ref_batch = ref_dataset.Batch(_t(q), _t(h_), [fts],
+                                  _t(c) if c is not None else None,
+                                  _t(t), _t(ty), PAD, ["v0", "v1"], [0, 1],
+                                  audio_fts=[audio])
+    with torch.no_grad():
+        ft = model.forward(ref_batch)
+        ref_logp = model.generator(ft, ref_batch, args).numpy()
+    our_batch = Batch(query=q.astype(np.int32), his=h_.astype(np.int32),
+                      trg=t.astype(np.int32), trg_y=ty.astype(np.int32),
+                      cap=(c.astype(np.int32) if c is not None else None),
+                      fts=fts, audio_fts=audio)
+    our_logp, _ = forward_logprobs(params, cfg, our_batch, rngs=None)
+    np.testing.assert_allclose(np.asarray(our_logp), ref_logp,
+                               rtol=5e-4, atol=5e-4)
