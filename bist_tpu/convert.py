@@ -159,7 +159,12 @@ def params_from_torch_model(model, cfg: ModelConfig) -> Dict[str, Any]:
     if cfg.nb_aenc_blocks > 0:
         dec["a_layers"] = [_ctx_layer(l) for l in tdec.a_layers]
         dec["a_out_norm"] = _norm(tdec.a_out_norm)
-    if hasattr(tdec, "vc_combine_W"):
+    if hasattr(tdec, "vc_combine_W") and cfg.use_cap_layers:
+        # the reference also constructs vc_combine_W for v>0,c==0 dyn
+        # configs (decoder.py:91-105) but its output is DEAD there (the mm
+        # layer takes the per-modality branch when c_N==0, decoder.py:27);
+        # our tree intentionally omits the dead weight, so skip harvesting
+        # it — keeps export→import round trips leaf-identical
         dec["vc_combine_W"] = _linear(tdec.vc_combine_W)
     params["decoder"] = dec
 
@@ -223,8 +228,6 @@ def import_reference_checkpoint(pth_path: str, conf_path: str,
 def _torch():
     import torch
 
-    # the reference generator hard-codes .cuda() (generator.py:66,113)
-    torch.Tensor.cuda = lambda self, *a, **k: self
     return torch
 
 
@@ -331,8 +334,8 @@ def ref_args_from_config(cfg: ModelConfig, **data_flags):
     # latent AttributeError in the reference, SURVEY §2.1 #9) — define the
     # only value under which the reference runs at all
     a.noW_venc = False
-    a.fea_type = (["resnext_st", "vggish"] if cfg.has_audio
-                  else ["resnext_st"]) if cfg.has_video else []
+    a.fea_type = ((["resnext_st"] if cfg.has_video else [])
+                  + (["vggish"] if cfg.has_audio else []))
     a.skip = 1
     a.max_history_length = -1
     a.merge_source = 0

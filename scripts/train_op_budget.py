@@ -141,11 +141,12 @@ def main():
                              platforms=[args.platform])(state, batch, key)
         return exp.mlir_module()
 
-    hlo_full = lower(args.prng)
+    impl = {"threefry": "threefry2x32"}.get(args.prng, args.prng)
+    hlo_full = lower(impl)
     if args.dump:
         open(args.dump, "w").write(hlo_full)
     counts_full = count_module(hlo_full)
-    other_impl = "threefry2x32" if args.prng == "rbg" else "rbg"
+    other_impl = "threefry2x32" if impl == "rbg" else "rbg"
     counts_other = count_module(lower(other_impl))
 
     def fwd_fn(params, batch):

@@ -23,9 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from bist_tpu.config import ModelConfig
-from bist_tpu.convert import (build_reference_model, ref_args_from_config,
-                              set_ctx_layer, set_ffn, set_linear, set_mha,
-                              set_mm_layer, set_norm, set_vid_layer)
+from bist_tpu.convert import build_reference_model, ref_args_from_config
 from bist_tpu.data.batching import Batch
 from bist_tpu.models.model import forward_logprobs, init_model
 from bist_tpu.vocab import PAD
@@ -57,23 +55,6 @@ def _t(x):
     import torch
 
     return torch.from_numpy(np.asarray(x))
-
-
-# aliases kept for the other parity-test files (training dynamics, quality,
-# convert round-trip) that import this harness by its historical names
-copy_linear = set_linear
-copy_norm = set_norm
-copy_mha = set_mha
-copy_ffn = set_ffn
-copy_ctx_layer = set_ctx_layer
-
-
-def copy_vid_layer(tv, p, cfg):
-    set_vid_layer(tv, p, cfg)
-
-
-def copy_mm_layer(tm, p, cfg):
-    set_mm_layer(tm, p, cfg)
 
 
 def build_ref_model_with_our_params(ref_mtn, cfg, params):
@@ -135,12 +116,6 @@ def test_forward_matches_reference_fusion_variants(ref_modules, rng):
                       enc_vc_combine="dyn", dec_st_combine="seq")
     params = init_model(jax.random.PRNGKey(9), cfg)
     model, args = build_ref_model_with_our_params(ref_mtn, cfg, params)
-    import torch
-
-    dec = params["decoder"]
-    tdec = model.mutlimodal_decoder
-    copy_norm(tdec.out_norm, dec["out_norm"])
-    copy_linear(tdec.vc_combine_W, dec["vc_combine_W"])
 
     B = 2
     rngl = rng
