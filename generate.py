@@ -14,6 +14,7 @@ throughput component (SURVEY.md §3.2)."""
 
 import argparse
 import copy
+import sys
 import json
 import logging
 import os
@@ -26,6 +27,10 @@ def build_parser():
     p.add_argument("--test-path", default="", type=str)
     p.add_argument("--test-set", default="", type=str)
     p.add_argument("--model-conf", default="", type=str)
+    p.add_argument("--reference-root", default="", type=str,
+                   help="path to a salesforce/BiST checkout; needed when "
+                        "--model is a reference-format .pth.tar checkpoint "
+                        "(the pickled module classes resolve from there)")
     p.add_argument("--model", "-m", default="", type=str)
     p.add_argument("--maxlen", default=12, type=int)
     p.add_argument("--dec-eos", default=0, type=int)
@@ -100,21 +105,54 @@ def main(argv=None):
 
     logging.info("Loading model params from %s", args.model)
     conf_path = args.model_conf or (args.model + ".conf")
-    vocab, cfg, tcfg, extra = load_conf(conf_path)
-    id2word = make_id2word(vocab)
-    logging.info("#vocab = %d", len(vocab))
 
     import jax.numpy as jnp
 
-    def _load(path):
-        payload = load_checkpoint(path + "_best" if os.path.isdir(path + "_best")
-                                  else path)
-        return jax.tree_util.tree_map(jnp.asarray, payload["params"])
+    # Drop-in migration: --model may point at a REFERENCE checkpoint (the
+    # pickled-module mtn_best.pth.tar + pickled (vocab, args) .conf the
+    # reference's train.py writes).  Detected by the .conf's format — the
+    # reference pickles (protocol-2 magic b'\\x80'), ours is JSON.
+    with open(conf_path, "rb") as f:
+        is_ref_ckpt = f.read(1) == b"\x80"
+    if is_ref_ckpt:
+        import pickle
 
-    params = _load(args.model)
-    if args.ensemble:
-        params = [params] + [_load(p) for p in args.ensemble]
-        logging.info("ensembling %d models", len(params))
+        from bist_tpu.config import TrainConfig
+        from bist_tpu.convert import import_reference_checkpoint
+
+        if args.ensemble:
+            sys.exit("--ensemble is not supported with reference-format "
+                     "checkpoints; convert them first (bist_tpu.convert)")
+        # --model may be the file, the reference's file-minus-extension
+        # (exec.sh passes <expdir>/mtn_best), or the bare prefix
+        cand = ([args.model] if args.model.endswith(".pth.tar")
+                else [args.model + ".pth.tar", args.model + "_best.pth.tar"])
+        pth = next((c for c in cand if os.path.exists(c)), cand[0])
+        logging.info("reference-format checkpoint detected; importing %s", pth)
+        params, cfg, vocab = import_reference_checkpoint(
+            pth, conf_path, reference_root=args.reference_root or None)
+        with open(conf_path, "rb") as f:
+            _, train_args = pickle.load(f)
+        tcfg = TrainConfig(
+            max_history_length=getattr(train_args, "max_history_length", -1),
+            merge_source=bool(getattr(train_args, "merge_source", 0)),
+            skip=getattr(train_args, "skip", 1))
+        extra = {"fea_type": getattr(train_args, "fea_type", None)}
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    else:
+        vocab, cfg, tcfg, extra = load_conf(conf_path)
+
+        def _load(path):
+            payload = load_checkpoint(
+                path + "_best" if os.path.isdir(path + "_best") else path)
+            return jax.tree_util.tree_map(jnp.asarray, payload["params"])
+
+        params = _load(args.model)
+        if args.ensemble:
+            params = [params] + [_load(p) for p in args.ensemble]
+            logging.info("ensembling %d models", len(params))
+    id2word = make_id2word(vocab)
+    logging.info("#vocab = %d", len(vocab))
     n_dev = jax.device_count()
     if n_dev > 1:
         logging.info("decoding data-parallel over %d devices", n_dev)

@@ -207,3 +207,41 @@ def test_init_csv_logs_resume_trims_rewritten_epochs(tmp_path):
     init_csv_logs(prefix)
     with open(trace_log) as f:
         assert len(f.readlines()) == 1
+
+
+def test_generate_from_reference_format_checkpoint(trained, tmp_path):
+    """Drop-in migration CLI (round 4): generate.py pointed straight at a
+    REFERENCE-format checkpoint pair (pickled-module .pth.tar + pickled
+    (vocab, args) .conf) auto-detects it, imports in place, and decodes —
+    answers identical to the native-checkpoint run (greedy, same weights)."""
+    REF = "/root/reference"
+    if not os.path.isdir(os.path.join(REF, "model")):
+        pytest.skip("reference tree not available")
+    synth, model = trained
+
+    from bist_tpu.config import load_conf
+    from bist_tpu.convert import export_reference_checkpoint
+    from bist_tpu.train.checkpoint import load_checkpoint
+
+    vocab, cfg, tcfg, extra = load_conf(model + ".conf")
+    payload = load_checkpoint(model + "_best")
+    pth, conf = export_reference_checkpoint(
+        payload["params"], cfg, vocab, str(tmp_path / "mtn"),
+        reference_root=REF)
+
+    outs = {}
+    for tag, margs in (
+            ("native", ["--model-conf", model + ".conf", "--model", model]),
+            ("ref", ["--model-conf", conf, "--model", str(tmp_path / "mtn"),
+                     "--reference-root", REF])):
+        out = str(tmp_path / f"result_{tag}.json")
+        run(["generate.py",
+             "--test-path", os.path.join(synth, "<FeaType>/<ImageID>.npy"),
+             "--test-set", os.path.join(synth, "test_test.json")]
+            + margs +
+            ["--decode-style", "greedy", "--output", out,
+             "--gen-batch-size", "8", "--device", "cpu"])
+        outs[tag] = json.load(open(out))
+
+    ans = lambda r: [t["answer"] for d in r["dialogs"] for t in d["dialog"]]
+    assert ans(outs["ref"]) == ans(outs["native"])
