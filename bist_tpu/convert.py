@@ -439,3 +439,36 @@ def export_reference_checkpoint(params, cfg: ModelConfig, vocab,
     with open(conf, "wb") as f:
         pickle.dump((vocab, args), f, -1)
     return pth, conf
+
+
+def is_reference_conf(conf_path: str) -> bool:
+    """True if `conf_path` is the reference's pickled (vocab, args) .conf
+    (pickle protocol-2 magic b'\\x80'); ours is JSON."""
+    with open(conf_path, "rb") as f:
+        return f.read(1) == b"\x80"
+
+
+def load_reference_checkpoint_cli(model: str, conf_path: str,
+                                  reference_root: Optional[str] = None):
+    """CLI-entry-point loader for reference-format checkpoints: resolves
+    the .pth.tar from a --model value (the file, the reference's
+    file-minus-extension like <expdir>/mtn_best, or the bare prefix) and
+    returns (params, cfg, tcfg, vocab, extra) — the same tuple shape the
+    native load_conf/load_checkpoint path produces."""
+    import os
+
+    from bist_tpu.config import TrainConfig
+
+    cand = ([model] if model.endswith(".pth.tar")
+            else [model + ".pth.tar", model + "_best.pth.tar"])
+    pth = next((c for c in cand if os.path.exists(c)), cand[0])
+    params, cfg, vocab = import_reference_checkpoint(
+        pth, conf_path, reference_root=reference_root)
+    with open(conf_path, "rb") as f:
+        _, train_args = pickle.load(f)
+    tcfg = TrainConfig(
+        max_history_length=getattr(train_args, "max_history_length", -1),
+        merge_source=bool(getattr(train_args, "merge_source", 0)),
+        skip=getattr(train_args, "skip", 1))
+    extra = {"fea_type": getattr(train_args, "fea_type", None)}
+    return params, cfg, tcfg, vocab, extra

@@ -115,29 +115,14 @@ def main(argv=None):
     with open(conf_path, "rb") as f:
         is_ref_ckpt = f.read(1) == b"\x80"
     if is_ref_ckpt:
-        import pickle
-
-        from bist_tpu.config import TrainConfig
-        from bist_tpu.convert import import_reference_checkpoint
+        from bist_tpu.convert import load_reference_checkpoint_cli
 
         if args.ensemble:
             sys.exit("--ensemble is not supported with reference-format "
                      "checkpoints; convert them first (bist_tpu.convert)")
-        # --model may be the file, the reference's file-minus-extension
-        # (exec.sh passes <expdir>/mtn_best), or the bare prefix
-        cand = ([args.model] if args.model.endswith(".pth.tar")
-                else [args.model + ".pth.tar", args.model + "_best.pth.tar"])
-        pth = next((c for c in cand if os.path.exists(c)), cand[0])
-        logging.info("reference-format checkpoint detected; importing %s", pth)
-        params, cfg, vocab = import_reference_checkpoint(
-            pth, conf_path, reference_root=args.reference_root or None)
-        with open(conf_path, "rb") as f:
-            _, train_args = pickle.load(f)
-        tcfg = TrainConfig(
-            max_history_length=getattr(train_args, "max_history_length", -1),
-            merge_source=bool(getattr(train_args, "merge_source", 0)),
-            skip=getattr(train_args, "skip", 1))
-        extra = {"fea_type": getattr(train_args, "fea_type", None)}
+        logging.info("reference-format checkpoint detected; importing")
+        params, cfg, tcfg, vocab, extra = load_reference_checkpoint_cli(
+            args.model, conf_path, reference_root=args.reference_root or None)
         params = jax.tree_util.tree_map(jnp.asarray, params)
     else:
         vocab, cfg, tcfg, extra = load_conf(conf_path)

@@ -99,6 +99,10 @@ def main(argv=None):
                         "unpinned on the jit path (grids compile on "
                         "demand), 16 for bundle export (the ResNeXt "
                         "default)")
+    p.add_argument("--reference-root", default="",
+                   help="salesforce/BiST checkout for serving reference-"
+                        "format checkpoints (--model mtn_best + pickled "
+                        ".conf; auto-detected)")
     p.add_argument("--device", default="")
     args = p.parse_args(argv)
 
@@ -134,11 +138,22 @@ def main(argv=None):
         if not args.model:
             p.error("--model is required unless --bundle is given")
         conf = args.model_conf or (args.model + ".conf")
-        vocab, cfg, tcfg, _ = load_conf(conf)
-        ckpt = args.model + "_best" if os.path.isdir(args.model + "_best") \
-            else args.model
-        payload = load_checkpoint(ckpt)
-        params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+        from bist_tpu.convert import (is_reference_conf,
+                                      load_reference_checkpoint_cli)
+
+        if is_reference_conf(conf):
+            # drop-in serving of a reference-format checkpoint (same
+            # detection as generate.py; see MIGRATING.md)
+            logging.info("reference-format checkpoint detected; importing")
+            params, cfg, _, vocab, _ = load_reference_checkpoint_cli(
+                args.model, conf, reference_root=args.reference_root or None)
+        else:
+            vocab, cfg, tcfg, _ = load_conf(conf)
+            ckpt = args.model + "_best" if os.path.isdir(args.model + "_best") \
+                else args.model
+            payload = load_checkpoint(ckpt)
+            params = payload["params"]
+        params = jax.tree_util.tree_map(jnp.asarray, params)
 
         gcfg = GenerateConfig(maxlen=args.maxlen, beam=args.beam,
                               penalty=args.penalty, nbest=1,

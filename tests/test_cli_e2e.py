@@ -245,3 +245,78 @@ def test_generate_from_reference_format_checkpoint(trained, tmp_path):
 
     ans = lambda r: [t["answer"] for d in r["dialogs"] for t in d["dialog"]]
     assert ans(outs["ref"]) == ans(outs["native"])
+
+
+def test_serve_from_reference_format_checkpoint(trained, tmp_path):
+    """serve.py drop-in: point --model at a reference-format checkpoint
+    pair; the server detects it, imports, warms up, and answers HTTP."""
+    import socket
+    import time
+    import urllib.request
+
+    REF = "/root/reference"
+    if not os.path.isdir(os.path.join(REF, "model")):
+        pytest.skip("reference tree not available")
+    synth, model = trained
+
+    from bist_tpu.config import load_conf
+    from bist_tpu.convert import export_reference_checkpoint
+    from bist_tpu.train.checkpoint import load_checkpoint
+
+    vocab, cfg, _, _ = load_conf(model + ".conf")
+    payload = load_checkpoint(model + "_best")
+    export_reference_checkpoint(payload["params"], cfg, vocab,
+                                str(tmp_path / "mtn"), reference_root=REF)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    proc = subprocess.Popen(
+        [sys.executable, "serve.py", "--model", str(tmp_path / "mtn"),
+         "--model-conf", str(tmp_path / "mtn.conf"),
+         "--reference-root", REF, "--device", "cpu",
+         "--port", str(port), "--max-batch", "4", "--scan-unroll", "1",
+         "--beam", "2"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        deadline = time.time() + 600
+        last = None
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"serve.py exited rc={proc.returncode}:\n"
+                    f"{proc.stdout.read()[-3000:]}")
+            try:
+                with urllib.request.urlopen(f"{base}/healthz", timeout=5) as r:
+                    if json.load(r)["ok"]:
+                        break
+            except Exception as e:   # noqa: BLE001 — server still warming
+                last = e
+                time.sleep(2.0)
+        else:
+            raise AssertionError(f"server never became healthy: {last}")
+
+        import numpy as np
+
+        fts = np.random.default_rng(0).standard_normal(
+            (5, 16, 32)).astype(np.float32)
+        req = urllib.request.Request(
+            f"{base}/respond",
+            data=json.dumps({"question": "what is he doing",
+                             "history": "a man is walking",
+                             "caption": "the man",
+                             "features": fts.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+            resp = json.load(r)
+        assert isinstance(resp["answer"], str)
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
