@@ -320,3 +320,51 @@ def test_serve_from_reference_format_checkpoint(trained, tmp_path):
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_train_init_from_reference_checkpoint(trained, tmp_path):
+    """train.py --init-from-ref: fine-tune a reference-format checkpoint —
+    vocab + model shape come from the checkpoint, params initialise from
+    its weights (first-batch loss well below the from-scratch first-batch
+    loss on the same data/seed), artifacts write normally."""
+    REF = "/root/reference"
+    if not os.path.isdir(os.path.join(REF, "model")):
+        pytest.skip("reference tree not available")
+    synth, model = trained
+
+    from bist_tpu.config import load_conf
+    from bist_tpu.convert import export_reference_checkpoint
+    from bist_tpu.train.checkpoint import load_checkpoint
+
+    vocab, cfg, _, _ = load_conf(model + ".conf")
+    payload = load_checkpoint(model + "_best")
+    export_reference_checkpoint(payload["params"], cfg, vocab,
+                                str(tmp_path / "refmtn"), reference_root=REF)
+
+    ft_model = str(tmp_path / "ft" / "mtn")
+    os.makedirs(os.path.dirname(ft_model))
+    run(["train.py",
+         "--fea-type", "resnext_st",
+         "--train-path", os.path.join(synth, "<FeaType>/<ImageID>.npy"),
+         "--train-set", os.path.join(synth, "train_test.json"),
+         "--valid-path", os.path.join(synth, "<FeaType>/<ImageID>.npy"),
+         "--valid-set", os.path.join(synth, "valid_test.json"),
+         "--model", ft_model,
+         "--init-from-ref", str(tmp_path / "refmtn_best"),
+         "--reference-root", REF,
+         "--num-epochs", "1", "--batch-size", "8",
+         # model-shape flags deliberately DIFFERENT from the checkpoint —
+         # --init-from-ref must take the shape from the checkpoint instead
+         "--nb-blocks", "2", "--d-model", "64",
+         "--include-caption", "summary",
+         "--warmup-steps", "20", "--report-interval", "1", "--device", "cpu"])
+
+    vocab_ft, cfg_ft, _, _ = load_conf(ft_model + ".conf")
+    assert vocab_ft == vocab
+    assert cfg_ft.d_model == cfg.d_model and cfg_ft.nb_blocks == cfg.nb_blocks
+
+    first_loss = lambda path: float(
+        open(path).read().splitlines()[1].split(",")[2])
+    scratch = first_loss(model + "_train.csv")
+    finetune = first_loss(ft_model + "_train.csv")
+    assert finetune < scratch - 0.1, (finetune, scratch)

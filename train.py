@@ -100,6 +100,16 @@ def build_parser():
                         "epoch); 0 restores blocking writes")
     p.add_argument("--verbose", "-v", default=0, type=int)
     # TPU additions
+    p.add_argument("--init-from-ref", default="", type=str,
+                   help="initialise params from a REFERENCE-format "
+                        "checkpoint (<prefix>_best.pth.tar + pickled "
+                        "<prefix>.conf) and fine-tune it here: vocab and "
+                        "model shape come from the checkpoint, training "
+                        "hyperparameters from this CLI.  --resume, if "
+                        "present, wins over this")
+    p.add_argument("--reference-root", default="", type=str,
+                   help="salesforce/BiST checkout for --init-from-ref "
+                        "(resolves the pickled module classes)")
     p.add_argument("--resume", default="", type=str,
                    help="checkpoint dir to resume from (params+opt state+"
                         "step), or 'auto' to pick up the newest complete "
@@ -147,9 +157,27 @@ def main(argv=None):
 
     np.random.seed(args.rand_seed)
 
-    logging.info("Extracting words from %s", args.train_set)
-    vocab = get_vocabulary(args.train_set, cutoff=args.cutoff,
-                           include_caption=args.include_caption)
+    ref_init = None
+    if args.init_from_ref:
+        from bist_tpu.convert import load_reference_checkpoint_cli
+
+        base = args.init_from_ref
+        for suf in (".pth.tar", "_best"):
+            if base.endswith(suf):
+                base = base[: -len(suf)]
+        ref_conf = (args.model_conf if getattr(args, "model_conf", "")
+                    else base + ".conf")
+        ref_params, ref_cfg, _, vocab, _ = load_reference_checkpoint_cli(
+            args.init_from_ref, ref_conf,
+            reference_root=args.reference_root or None)
+        ref_init = (ref_params, ref_cfg)
+        logging.info("--init-from-ref %s: vocab (%d words) and model shape "
+                     "come from the checkpoint", args.init_from_ref,
+                     len(vocab))
+    else:
+        logging.info("Extracting words from %s", args.train_set)
+        vocab = get_vocabulary(args.train_set, cutoff=args.cutoff,
+                               include_caption=args.include_caption)
     logging.info("#vocab = %d", len(vocab))
 
     logging.info("Loading training data from %s", args.train_set)
@@ -187,6 +215,17 @@ def main(argv=None):
         separate_caption=bool(args.separate_caption), ft_sizes=ft_sizes,
         dtype="bfloat16" if args.bf16 else "float32",
         remat=bool(args.remat))
+    if ref_init is not None:
+        import dataclasses
+
+        ref_params, ref_cfg = ref_init
+        if ref_cfg.ft_sizes != ft_sizes:
+            sys.exit(f"--init-from-ref feature dims {ref_cfg.ft_sizes} != "
+                     f"detected {ft_sizes} (check --fea-type)")
+        # structure from the checkpoint; regularisation/precision from CLI
+        cfg = dataclasses.replace(
+            ref_cfg, dropout=args.dropout, attn_dropout=args.attn_dropout,
+            dtype=cfg.dtype, remat=cfg.remat)
     tcfg = TrainConfig(
         num_epochs=args.num_epochs, rand_seed=args.rand_seed,
         batch_size=args.batch_size, max_length=args.max_length,
@@ -232,6 +271,14 @@ def main(argv=None):
                  len(valid_data.examples), len(valid_loader))
 
     state, tx = create_train_state(jax.random.PRNGKey(args.rand_seed), cfg, tcfg)
+    if ref_init is not None:
+        import jax.numpy as jnp
+
+        ref_p = jax.tree_util.tree_map(jnp.asarray, ref_init[0])
+        state = TrainState(params=ref_p, opt_state=tx.init(ref_p),
+                           step=state.step)
+        logging.info("params initialised from the reference checkpoint "
+                     "(fresh optimizer state)")
     start_epoch = 0
     min_valid_loss = 1.0e10
     resume_path = args.resume
