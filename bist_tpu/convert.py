@@ -472,3 +472,79 @@ def load_reference_checkpoint_cli(model: str, conf_path: str,
         skip=getattr(train_args, "skip", 1))
     extra = {"fea_type": getattr(train_args, "fea_type", None)}
     return params, cfg, tcfg, vocab, extra
+
+
+def _main(argv=None):
+    """CLI: convert checkpoints between the two formats.
+
+    python -m bist_tpu.convert to-native   REF_PREFIX  OUT_PREFIX  [--reference-root R]
+    python -m bist_tpu.convert to-reference OUR_PREFIX OUT_PREFIX  [--reference-root R]
+
+    to-native: reference pair (<prefix>_best.pth.tar + pickled .conf) →
+    our orbax checkpoint dir <out>_best + JSON <out>.conf (loadable by
+    train.py --resume / generate.py / serve.py).
+    to-reference: our checkpoint (<prefix>_best + <prefix>.conf) → a
+    reference pair the reference's generate.py loads unchanged."""
+    import argparse
+    import os
+
+    ap = argparse.ArgumentParser(prog="python -m bist_tpu.convert",
+                                 description=_main.__doc__)
+    ap.add_argument("direction", choices=["to-native", "to-reference"])
+    ap.add_argument("src_prefix")
+    ap.add_argument("out_prefix")
+    ap.add_argument("--reference-root", default="",
+                    help="salesforce/BiST checkout (resolves/provides the "
+                         "pickled module classes)")
+    args = ap.parse_args(argv)
+    root = args.reference_root or None
+
+    if args.direction == "to-native":
+        import types
+
+        import jax
+        import jax.numpy as jnp
+
+        from bist_tpu.config import save_conf
+        from bist_tpu.train.checkpoint import save_checkpoint
+        from bist_tpu.train.schedule import make_optimizer
+
+        params, cfg, tcfg, vocab, extra = load_reference_checkpoint_cli(
+            args.src_prefix, _ref_conf_for(args.src_prefix), reference_root=root)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        os.makedirs(os.path.dirname(args.out_prefix) or ".", exist_ok=True)
+        save_conf(args.out_prefix + ".conf", vocab, cfg, tcfg, extra)
+        # fresh optimizer state so train.py --resume accepts the checkpoint
+        tx = make_optimizer(cfg.d_model, tcfg.warmup_steps, tcfg.noam_factor,
+                            tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps)
+        state = types.SimpleNamespace(params=params, opt_state=tx.init(params),
+                                      step=jnp.zeros((), jnp.int32))
+        save_checkpoint(args.out_prefix + "_best", state, epoch=-1)
+        print(f"wrote {args.out_prefix}_best + {args.out_prefix}.conf")
+    else:
+        if not root:
+            ap.error("to-reference requires --reference-root")
+        from bist_tpu.config import load_conf
+        from bist_tpu.train.checkpoint import load_checkpoint
+
+        vocab, cfg, tcfg, extra = load_conf(args.src_prefix + ".conf")
+        ckpt = args.src_prefix + "_best" \
+            if os.path.isdir(args.src_prefix + "_best") else args.src_prefix
+        payload = load_checkpoint(ckpt)
+        pth, conf = export_reference_checkpoint(
+            payload["params"], cfg, vocab, args.out_prefix, root,
+            **({"fea_type": extra["fea_type"]} if extra.get("fea_type")
+               else {}))
+        print(f"wrote {pth} + {conf}")
+
+
+def _ref_conf_for(model: str) -> str:
+    base = model
+    for suf in (".pth.tar", "_best"):
+        if base.endswith(suf):
+            base = base[: -len(suf)]
+    return base + ".conf"
+
+
+if __name__ == "__main__":
+    _main()

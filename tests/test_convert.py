@@ -158,3 +158,55 @@ def test_export_reference_checkpoint_roundtrip(tmp_path, rng):
     our_logp, _ = forward_logprobs(params, cfg, our_batch, rngs=None)
     np.testing.assert_allclose(np.asarray(our_logp), ref_logp,
                                rtol=5e-4, atol=5e-4)
+
+
+def test_convert_cli_both_directions(tmp_path):
+    """python -m bist_tpu.convert: native → reference → native round trip
+    through the CLI entry, params leaf-identical at the end."""
+    import types as _types
+
+    import jax
+    import jax.numpy as jnp
+
+    from bist_tpu.config import ModelConfig, TrainConfig, save_conf
+    from bist_tpu.convert import _main
+    from bist_tpu.models.model import init_model
+    from bist_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from bist_tpu.train.schedule import make_optimizer
+
+    cfg = ModelConfig(vocab_size=60, nb_blocks=1, nb_venc_blocks=1,
+                      nb_cenc_blocks=1, d_model=16, att_h=2, dropout=0.0,
+                      include_caption="summary", separate_caption=True,
+                      ft_sizes=(24,))
+    tcfg = TrainConfig()
+    params = init_model(jax.random.PRNGKey(5), cfg)
+    vocab = {"<unk>": 0, "<blank>": 1, "<sos>": 2, "<eos>": 3}
+    vocab.update({f"w{i}": i for i in range(4, 60)})
+
+    native = str(tmp_path / "a" / "mtn")
+    os.makedirs(os.path.dirname(native))
+    save_conf(native + ".conf", vocab, cfg, tcfg,
+              {"fea_type": ["resnext_st"]})
+    tx = make_optimizer(cfg.d_model, tcfg.warmup_steps, tcfg.noam_factor,
+                        tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps)
+    save_checkpoint(native + "_best", _types.SimpleNamespace(
+        params=params, opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32)))
+
+    ref = str(tmp_path / "b" / "mtn")
+    os.makedirs(os.path.dirname(ref))
+    _main(["to-reference", native, ref, "--reference-root", REF])
+    assert os.path.exists(ref + "_best.pth.tar")
+
+    back = str(tmp_path / "c" / "mtn")
+    _main(["to-native", ref + "_best", back, "--reference-root", REF])
+    payload = load_checkpoint(back + "_best")
+
+    import numpy as np
+
+    l1 = jax.tree_util.tree_leaves_with_path(params)
+    l2 = dict(jax.tree_util.tree_leaves_with_path(payload["params"]))
+    assert len(l1) == len(l2)
+    for path, leaf in l1:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(l2[path]), err_msg=str(path))
