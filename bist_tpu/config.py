@@ -191,7 +191,7 @@ class GenerateConfig:
     min_len: int = 1
     dec_eos: bool = False
     undisclosed_only: bool = False
-    decode_style: str = "beam_search"   # 'beam_search' | 'greedy'
+    decode_style: str = "beam_search"   # 'beam_search' | 'greedy' | 'sample'
     gen_batch_size: int = 32            # TPU addition: batched generation
                                         # (reference runs batch=1, generate.py:112)
     cache_dtype: str = "float32"        # decode self-attn KV cache storage;
@@ -210,6 +210,12 @@ class GenerateConfig:
                                         # 0.68x — decode is op-latency-bound,
                                         # the casts add ops; BENCH.md round 3)
                                         # — default-off knob for other hw
+    temperature: float = 1.0            # sampling decode_style knobs
+    top_k: int = 0                      # (serving extension; the reference
+    top_p: float = 0.0                  # has no sampling at all)
+    sample_seed: int = 1                # base RNG key for serving sampling;
+                                        # per-request streams fold the
+                                        # request seed into it
 
 
 # ---------------------------------------------------------------------------

@@ -57,17 +57,26 @@ def sample_decode(params, cfg: ModelConfig, batch: Batch, maxlen: int,
                   key: jax.Array, temperature: float = 1.0, top_k: int = 0,
                   top_p: float = 0.0,
                   cache_dtype: str = "float32",
-                  unroll: int = 1) -> jnp.ndarray:
+                  unroll: int = 1, row_seeds=None) -> jnp.ndarray:
     """Sampled decoding; returns (B, maxlen) token ids (may contain <eos>;
     caller truncates, as with greedy_decode).  `unroll` = scan-body
     replication, the same perf knob as GenerateConfig.scan_unroll
-    (identical numerics)."""
+    (identical numerics).
+
+    row_seeds: optional (B,) int32 — per-row RNG streams derived as
+    fold_in(key, seed): row i's draws depend only on (key, row_seeds[i],
+    step), NOT on batch composition or row position, so a serving batcher
+    can coalesce arbitrary requests and still give each one a reproducible
+    per-request stream (tests/test_sample.py batch-invariance)."""
     B = batch.query.shape[0]
     dt = jnp.bfloat16 if cache_dtype == "bfloat16" else jnp.float32
     ctx = precompute_decode_ctx(params, cfg, batch, dtype=dt)
     cache = init_cache(cfg, B, maxlen + 1, dtype=dt)
     tok0 = jnp.full((B,), SOS, jnp.int32)
     temp = max(float(temperature), 1e-4)
+    row_keys = (None if row_seeds is None
+                else jax.vmap(lambda s: jax.random.fold_in(key, s))(
+                    jnp.asarray(row_seeds, jnp.int32)))
 
     def step(carry, l):
         tok, cache = carry
@@ -77,8 +86,14 @@ def sample_decode(params, cfg: ModelConfig, batch: Batch, maxlen: int,
         logits = logp.at[:, UNK].set(NEG).at[:, PAD].set(NEG) \
             .at[:, SOS].set(NEG) / temp
         logits = filter_logits(logits, top_k=top_k, top_p=top_p)
-        nxt = jax.random.categorical(
-            jax.random.fold_in(key, l), logits, axis=-1).astype(jnp.int32)
+        if row_keys is None:
+            nxt = jax.random.categorical(
+                jax.random.fold_in(key, l), logits, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jax.vmap(
+                lambda k, lg: jax.random.categorical(
+                    jax.random.fold_in(k, l), lg, axis=-1))(
+                row_keys, logits).astype(jnp.int32)
         return (nxt, cache), nxt
 
     (_, _), out = jax.lax.scan(step, (tok0, cache), jnp.arange(maxlen),

@@ -65,6 +65,8 @@ class Request:
     caption: Optional[np.ndarray]
     features: Optional[np.ndarray]          # (T, S, Dv)
     audio: Optional[np.ndarray] = None
+    seed: Optional[int] = None              # sampling decode_style only:
+                                            # per-request RNG stream id
     _event: threading.Event = field(default_factory=threading.Event)
     _answer: Optional[str] = None
     _nbest: Optional[List[Tuple[List[str], float]]] = None
@@ -175,11 +177,25 @@ class Responder:
             self._beam = jax.jit(lambda p, b: greedy_decode(
                 p, cfg, b, gcfg.maxlen, cache_dtype=gcfg.cache_dtype,
                 unroll=gcfg.scan_unroll))
+        elif self._style == "sample":
+            # per-request RNG streams: row i draws from
+            # fold_in(base_key, seeds[i]) — reproducible per request and
+            # independent of batch composition (sample_decode.row_seeds)
+            import itertools
+
+            from bist_tpu.decode.sample import sample_decode
+
+            base_key = jax.random.PRNGKey(gcfg.sample_seed)
+            self._auto_seed = itertools.count(1)
+            self._beam = jax.jit(lambda p, b, seeds: sample_decode(
+                p, cfg, b, gcfg.maxlen, base_key,
+                temperature=gcfg.temperature, top_k=gcfg.top_k,
+                top_p=gcfg.top_p, cache_dtype=gcfg.cache_dtype,
+                unroll=gcfg.scan_unroll, row_seeds=seeds))
         else:
             raise ValueError(
-                f"serving supports decode_style 'beam_search' or 'greedy', "
-                f"not {self._style!r} (sampling needs per-request RNG "
-                f"policy — use generate.py for offline sampling)")
+                f"serving supports decode_style 'beam_search', 'greedy' or "
+                f"'sample', not {self._style!r}")
 
     def tokenize(self, text: str) -> np.ndarray:
         return words2ids(text, self.vocab)
@@ -250,6 +266,13 @@ class Responder:
         in-flight computation of previously dispatched batches —
         finish() the handles in dispatch order."""
         batch = self._dp.shard(self.make_batch(reqs))
+        if self._style == "sample":
+            seeds = np.zeros((self.batch_rows(len(reqs)),), np.int32)
+            for i, r in enumerate(reqs):
+                seeds[i] = (r.seed if r.seed is not None
+                            else next(self._auto_seed))
+            return self._beam(self.params, batch,
+                              self._dp.shard(seeds)), reqs
         return self._beam(self.params, batch), reqs
 
     def finish(self, pending) -> None:
@@ -258,7 +281,7 @@ class Responder:
 
         fut, reqs = pending
         out = jax.device_get(fut)
-        if self._style == "greedy":
+        if self._style in ("greedy", "sample"):
             from bist_tpu.vocab import ids2words
 
             ids = np.asarray(out)
@@ -473,7 +496,7 @@ class DynamicBatcher:
                caption: Optional[str] = None,
                features: Optional[np.ndarray] = None,
                audio: Optional[np.ndarray] = None,
-               timeout: float = 60.0) -> str:
+               timeout: float = 60.0, seed: Optional[int] = None) -> str:
         # fail fast BEFORE queueing: a malformed request inside a coalesced
         # batch would otherwise fail every neighbour in its group
         rsp = self.responder
@@ -519,7 +542,7 @@ class DynamicBatcher:
         c_ids = _clamp_head(rsp.tokenize(caption), rsp.c_buckets[-1]) \
             if caption is not None else None
         r = Request(question=q_ids, history=h_ids, caption=c_ids,
-                    features=features, audio=audio)
+                    features=features, audio=audio, seed=seed)
         t0 = time.time()
         self._q.put(r)
         if not r._event.wait(timeout):

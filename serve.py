@@ -74,10 +74,19 @@ def main(argv=None):
                         "the serving analogue of train.py --feat-int8")
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--decode-style", default="beam_search",
-                   choices=["beam_search", "greedy"],
+                   choices=["beam_search", "greedy", "sample"],
                    help="greedy serves one hypothesis row per request "
                         "(~beam x lower per-step decode cost) at a quality "
-                        "cost; beam_search is the eval-parity default")
+                        "cost; sample draws per-request reproducible "
+                        "streams (request JSON may carry a 'seed'); "
+                        "beam_search is the eval-parity default")
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="sampling temperature (decode-style sample)")
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=0.0)
+    p.add_argument("--sample-seed", type=int, default=1,
+                   help="base RNG key; per-request 'seed' fields fold into "
+                        "it, so answers are reproducible per (base, seed)")
     p.add_argument("--cache-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="decode KV-cache storage; bf16 measured 1.68x beam "
@@ -159,7 +168,14 @@ def main(argv=None):
                               penalty=args.penalty, nbest=1,
                               cache_dtype=args.cache_dtype,
                               scan_unroll=args.scan_unroll,
-                              decode_style=args.decode_style)
+                              decode_style=args.decode_style,
+                              temperature=args.temperature,
+                              top_k=args.top_k, top_p=args.top_p,
+                              sample_seed=args.sample_seed)
+        if args.export_bundle and args.decode_style == "sample":
+            p.error("--export-bundle supports beam_search/greedy only "
+                    "(sampling keys are a live-server policy; serve the "
+                    "model with --decode-style sample instead)")
         if args.export_bundle:
             from bist_tpu.export import (default_serving_geometries,
                                          save_bundle)
@@ -264,7 +280,8 @@ def make_http_server(host, port, server_b, *, requires_features=False):
                 t0 = time.time()
                 answer = server_b.submit(
                     req["question"], history=req.get("history", ""),
-                    caption=req.get("caption"), features=features)
+                    caption=req.get("caption"), features=features,
+                    seed=req.get("seed"))
                 self._send(200, {"answer": answer,
                                  "latency_ms": (time.time() - t0) * 1e3})
             except Exception as e:

@@ -77,3 +77,49 @@ def test_sampling_deterministic_per_key(rng):
     b = np.asarray(sample_decode(params, cfg, batch, 6,
                                  jax.random.PRNGKey(2), temperature=1.5))
     assert not np.array_equal(a1, b)
+
+
+def test_row_seeds_batch_invariance(rng):
+    """row_seeds gives each row a stream keyed by (base, seed) alone: the
+    same example with the same seed draws the same tokens whether it is
+    row 0 of a batch of 1 (padded) or row 2 of a full batch."""
+    import jax
+    import numpy as np
+
+    from bist_tpu.config import ModelConfig
+    from bist_tpu.data.batching import Batch
+    from bist_tpu.decode.sample import sample_decode
+    from bist_tpu.models.model import init_model
+    from bist_tpu.vocab import PAD
+
+    cfg = ModelConfig(vocab_size=40, nb_blocks=1, nb_venc_blocks=1,
+                      nb_cenc_blocks=1, d_model=16, att_h=2, dropout=0.0,
+                      include_caption="summary", separate_caption=True,
+                      ft_sizes=(8,))
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    B = 4
+
+    def toks(L, seed):
+        r = np.random.default_rng(seed)
+        x = r.integers(4, 40, size=(B, L)).astype(np.int32)
+        x[:, -1] = PAD
+        return x
+
+    fts = np.random.default_rng(3).standard_normal((B, 3, 4, 8)) \
+        .astype(np.float32)
+    batch = Batch(query=toks(5, 0), his=toks(7, 1), trg=toks(2, 2),
+                  trg_y=toks(2, 2), cap=toks(4, 4), fts=fts, audio_fts=None)
+    key = jax.random.PRNGKey(11)
+    seeds_full = np.array([5, 6, 7, 8], np.int32)
+    out_full = np.asarray(sample_decode(params, cfg, batch, 6, key,
+                                        temperature=2.0,
+                                        row_seeds=seeds_full))
+
+    # the SAME example as row 0, different neighbours and row position:
+    perm = np.array([2, 0, 1, 3])
+    batch_p = Batch(*[None if x is None else np.asarray(x)[perm]
+                      for x in batch])
+    out_p = np.asarray(sample_decode(params, cfg, batch_p, 6, key,
+                                     temperature=2.0,
+                                     row_seeds=seeds_full[perm]))
+    np.testing.assert_array_equal(out_p, out_full[perm])

@@ -223,7 +223,7 @@ def test_unsupported_decode_style_raises():
     params = init_model(jax.random.PRNGKey(0), cfg)
     with pytest.raises(ValueError, match="decode_style"):
         Responder(params, cfg, vocab,
-                  GenerateConfig(decode_style="sample"), max_batch=2)
+                  GenerateConfig(decode_style="oracle"), max_batch=2)
 
 
 def test_pipelined_batcher_under_backlog(served, rng):
@@ -490,5 +490,56 @@ def test_batcher_multidevice_flagship_geometry(rng):
         assert set(results) == {0, 1, 2, 3}
         assert all(isinstance(v, str) for v in results.values())
         assert server.stats["requests"] >= 4
+    finally:
+        server.stop()
+
+
+def test_sample_decode_style_serving(rng):
+    """Sampling in serving (round 4): per-request reproducible RNG streams.
+
+    The properties that make sampling servable at all: (a) the same
+    (base_seed, request_seed) gives the same answer REGARDLESS of which
+    other requests the batcher coalesced it with or which row it landed in
+    (row streams fold the request seed, not the row index); (b) omitted
+    seeds auto-draw distinct streams."""
+    vocab = dict(SPECIALS)
+    for w in ("a the man is walking sitting what doing he yes no couch "
+              "dog cat room").split():
+        vocab[w] = len(vocab)
+    cfg = ModelConfig(vocab_size=len(vocab), nb_blocks=1, nb_venc_blocks=1,
+                      nb_cenc_blocks=1, d_model=16, att_h=2, dropout=0.0,
+                      include_caption="summary", separate_caption=True,
+                      ft_sizes=(8,))
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    gcfg = GenerateConfig(maxlen=6, decode_style="sample", temperature=2.0,
+                          sample_seed=7)
+    responder = Responder(params, cfg, vocab, gcfg, max_batch=4,
+                          len_buckets=(8, 16), time_buckets=(8,))
+    responder.warmup(feature_shape=(4, 8), t_clips=8)
+    server = DynamicBatcher(responder, max_batch=4, max_wait_ms=20)
+    server.start()
+    try:
+        fts = np.random.default_rng(0).standard_normal((8, 4, 8)) \
+            .astype(np.float32)
+        ask = lambda seed: server.submit(
+            "what is he doing", history="a man is walking",
+            caption="the man", features=fts, seed=seed, timeout=120)
+
+        alone = ask(42)
+        # coalesce the same seeded request with three neighbours
+        answers = {}
+
+        def work(i, seed):
+            answers[i] = ask(seed)
+
+        ts = [threading.Thread(target=work, args=(i, s))
+              for i, s in enumerate([42, None, 99, None])]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert answers[0] == alone            # batch-composition invariant
+        assert ask(99) == answers[2]          # reproducible per seed
+        assert ask(42) == alone
     finally:
         server.stop()
