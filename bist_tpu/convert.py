@@ -180,17 +180,26 @@ def params_from_torch_model(model, cfg: ModelConfig) -> Dict[str, Any]:
     return __import__("jax").tree_util.tree_map(jnp.asarray, params)
 
 
+def read_reference_conf(conf_path: str):
+    """(vocab, train_args) from the reference's pickled .conf."""
+    with open(conf_path, "rb") as f:
+        return pickle.load(f)
+
+
 def import_reference_checkpoint(pth_path: str, conf_path: str,
-                                reference_root: Optional[str] = None):
+                                reference_root: Optional[str] = None,
+                                conf_data=None):
     """(params, ModelConfig, vocab) from a reference .pth.tar + .conf.
 
     `reference_root` must point at a checkout of the reference repo so the
-    pickled module classes resolve (torch.save stored the whole module)."""
+    pickled module classes resolve (torch.save stored the whole module).
+    `conf_data` lets a caller that already unpickled the .conf pass the
+    (vocab, train_args) tuple instead of re-reading it."""
     import torch
 
     torch.Tensor.cuda = lambda self, *a, **k: self  # reference hard-codes .cuda()
-    with open(conf_path, "rb") as f:
-        vocab, train_args = pickle.load(f)
+    vocab, train_args = (conf_data if conf_data is not None
+                         else read_reference_conf(conf_path))
     if reference_root:
         sys.path.insert(0, reference_root)
     try:
@@ -462,10 +471,10 @@ def load_reference_checkpoint_cli(model: str, conf_path: str,
     cand = ([model] if model.endswith(".pth.tar")
             else [model + ".pth.tar", model + "_best.pth.tar"])
     pth = next((c for c in cand if os.path.exists(c)), cand[0])
+    conf_data = read_reference_conf(conf_path)
     params, cfg, vocab = import_reference_checkpoint(
-        pth, conf_path, reference_root=reference_root)
-    with open(conf_path, "rb") as f:
-        _, train_args = pickle.load(f)
+        pth, conf_path, reference_root=reference_root, conf_data=conf_data)
+    train_args = conf_data[1]
     tcfg = TrainConfig(
         max_history_length=getattr(train_args, "max_history_length", -1),
         merge_source=bool(getattr(train_args, "merge_source", 0)),
@@ -531,6 +540,7 @@ def _main(argv=None):
         ckpt = args.src_prefix + "_best" \
             if os.path.isdir(args.src_prefix + "_best") else args.src_prefix
         payload = load_checkpoint(ckpt)
+        os.makedirs(os.path.dirname(args.out_prefix) or ".", exist_ok=True)
         pth, conf = export_reference_checkpoint(
             payload["params"], cfg, vocab, args.out_prefix, root,
             **({"fea_type": extra["fea_type"]} if extra.get("fea_type")
@@ -538,12 +548,19 @@ def _main(argv=None):
         print(f"wrote {pth} + {conf}")
 
 
-def _ref_conf_for(model: str) -> str:
+def default_conf_for(model: str) -> str:
+    """Default .conf path for a --model value, for BOTH formats: strips the
+    checkpoint suffixes (<prefix>_best.pth.tar / <prefix>_best / .pth.tar)
+    so every advertised --model form resolves to <prefix>.conf (the layout
+    reference train.py:105-107,161 writes and ours mirrors)."""
     base = model
     for suf in (".pth.tar", "_best"):
         if base.endswith(suf):
             base = base[: -len(suf)]
     return base + ".conf"
+
+
+_ref_conf_for = default_conf_for  # historical internal name
 
 
 if __name__ == "__main__":

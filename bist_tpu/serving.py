@@ -186,7 +186,10 @@ class Responder:
             from bist_tpu.decode.sample import sample_decode
 
             base_key = jax.random.PRNGKey(gcfg.sample_seed)
-            self._auto_seed = itertools.count(1)
+            # auto-assigned seeds count DOWN from -1: disjoint from client
+            # seeds (submit() requires those >= 0), so an unseeded request
+            # can never silently share a stream with an explicitly seeded one
+            self._auto_seed = itertools.count(-1, -1)
             self._beam = jax.jit(lambda p, b, seeds: sample_decode(
                 p, cfg, b, gcfg.maxlen, base_key,
                 temperature=gcfg.temperature, top_k=gcfg.top_k,
@@ -501,6 +504,15 @@ class DynamicBatcher:
         # batch would otherwise fail every neighbour in its group
         rsp = self.responder
         cfg = rsp.cfg
+        if seed is not None:
+            # dispatch() writes seeds into an int32 row array; a non-int or
+            # out-of-range value there would fail the whole coalesced batch.
+            # Negative values are reserved for the server's auto-seed stream.
+            if isinstance(seed, bool) or not isinstance(seed, (int, np.integer)):
+                raise ValueError(f"seed must be an integer, got "
+                                 f"{type(seed).__name__}")
+            if not 0 <= int(seed) < 2 ** 31:
+                raise ValueError(f"seed must be in [0, 2**31), got {seed}")
         if cfg.has_video and features is None:
             raise ValueError("model requires video features")
         if cfg.has_audio and audio is None:

@@ -104,7 +104,11 @@ def main(argv=None):
     from bist_tpu.vocab import EOS, ids2words, make_id2word
 
     logging.info("Loading model params from %s", args.model)
-    conf_path = args.model_conf or (args.model + ".conf")
+    from bist_tpu.convert import default_conf_for, is_reference_conf
+
+    # default conf strips checkpoint suffixes so --model exps/mtn,
+    # exps/mtn_best and exps/mtn_best.pth.tar all resolve exps/mtn.conf
+    conf_path = args.model_conf or default_conf_for(args.model)
 
     import jax.numpy as jnp
 
@@ -112,9 +116,7 @@ def main(argv=None):
     # pickled-module mtn_best.pth.tar + pickled (vocab, args) .conf the
     # reference's train.py writes).  Detected by the .conf's format — the
     # reference pickles (protocol-2 magic b'\\x80'), ours is JSON.
-    with open(conf_path, "rb") as f:
-        is_ref_ckpt = f.read(1) == b"\x80"
-    if is_ref_ckpt:
+    if is_reference_conf(conf_path):
         from bist_tpu.convert import load_reference_checkpoint_cli
 
         if args.ensemble:

@@ -146,9 +146,12 @@ def main(argv=None):
     else:
         if not args.model:
             p.error("--model is required unless --bundle is given")
-        conf = args.model_conf or (args.model + ".conf")
-        from bist_tpu.convert import (is_reference_conf,
+        from bist_tpu.convert import (default_conf_for, is_reference_conf,
                                       load_reference_checkpoint_cli)
+
+        # default conf strips checkpoint suffixes so --model exps/mtn,
+        # exps/mtn_best and exps/mtn_best.pth.tar all resolve exps/mtn.conf
+        conf = args.model_conf or default_conf_for(args.model)
 
         if is_reference_conf(conf):
             # drop-in serving of a reference-format checkpoint (same
@@ -284,6 +287,10 @@ def make_http_server(host, port, server_b, *, requires_features=False):
                     seed=req.get("seed"))
                 self._send(200, {"answer": answer,
                                  "latency_ms": (time.time() - t0) * 1e3})
+            except ValueError as e:
+                # submit()'s fail-fast validation: the request itself is
+                # malformed (shape/seed/field errors) — a client error
+                self._send(400, {"error": str(e)})
             except Exception as e:
                 self._send(500, {"error": str(e)})
 

@@ -368,3 +368,25 @@ def test_train_init_from_reference_checkpoint(trained, tmp_path):
     scratch = first_loss(model + "_train.csv")
     finetune = first_loss(ft_model + "_train.csv")
     assert finetune < scratch - 0.1, (finetune, scratch)
+
+    # caption-preprocessing mismatch fails FAST with a clear message: the
+    # checkpoint cfg keeps include_caption/separate_caption but the data
+    # loaders use the CLI flags (round-4 review finding)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"   # placeholder; --device cpu forces cpu
+    r = subprocess.run(
+        [sys.executable, "train.py",
+         "--fea-type", "resnext_st",
+         "--train-path", os.path.join(synth, "<FeaType>/<ImageID>.npy"),
+         "--train-set", os.path.join(synth, "train_test.json"),
+         "--valid-path", os.path.join(synth, "<FeaType>/<ImageID>.npy"),
+         "--valid-set", os.path.join(synth, "valid_test.json"),
+         "--model", str(tmp_path / "ft2" / "mtn"),
+         "--init-from-ref", str(tmp_path / "refmtn_best"),
+         "--reference-root", REF,
+         "--num-epochs", "1", "--batch-size", "8",
+         "--include-caption", "none",       # checkpoint says "summary"
+         "--device", "cpu"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode != 0
+    assert "include-caption" in (r.stderr + r.stdout)

@@ -193,8 +193,8 @@ def test_convert_cli_both_directions(tmp_path):
         params=params, opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32)))
 
+    # no pre-created output dir: to-reference must mkdir it (round-4 review)
     ref = str(tmp_path / "b" / "mtn")
-    os.makedirs(os.path.dirname(ref))
     _main(["to-reference", native, ref, "--reference-root", REF])
     assert os.path.exists(ref + "_best.pth.tar")
 
@@ -210,3 +210,16 @@ def test_convert_cli_both_directions(tmp_path):
     for path, leaf in l1:
         np.testing.assert_array_equal(np.asarray(leaf),
                                       np.asarray(l2[path]), err_msg=str(path))
+
+
+def test_default_conf_for_every_model_form():
+    """Every advertised --model form resolves to <prefix>.conf — the CLIs
+    (generate/serve/train --init-from-ref) derive their default conf path
+    from this helper, so `--model exps/mtn_best` must not look for
+    exps/mtn_best.conf (round-4 review finding)."""
+    from bist_tpu.convert import default_conf_for
+
+    assert default_conf_for("exps/mtn") == "exps/mtn.conf"
+    assert default_conf_for("exps/mtn_best") == "exps/mtn.conf"
+    assert default_conf_for("exps/mtn_best.pth.tar") == "exps/mtn.conf"
+    assert default_conf_for("exps/mtn.pth.tar") == "exps/mtn.conf"

@@ -541,5 +541,13 @@ def test_sample_decode_style_serving(rng):
         assert answers[0] == alone            # batch-composition invariant
         assert ask(99) == answers[2]          # reproducible per seed
         assert ask(42) == alone
+
+        # malformed seeds fail fast at submit() — they would otherwise
+        # poison the whole coalesced batch inside dispatch() (round-4
+        # review); negative values are reserved for the auto-seed stream
+        for bad in ("abc", 2 ** 40, -3, 1.5, True):
+            with pytest.raises(ValueError):
+                ask(bad)
+        assert ask(42) == alone               # server still healthy after
     finally:
         server.stop()

@@ -159,17 +159,27 @@ def main(argv=None):
 
     ref_init = None
     if args.init_from_ref:
-        from bist_tpu.convert import load_reference_checkpoint_cli
+        from bist_tpu.convert import (default_conf_for,
+                                      load_reference_checkpoint_cli)
 
-        base = args.init_from_ref
-        for suf in (".pth.tar", "_best"):
-            if base.endswith(suf):
-                base = base[: -len(suf)]
         ref_conf = (args.model_conf if getattr(args, "model_conf", "")
-                    else base + ".conf")
+                    else default_conf_for(args.init_from_ref))
         ref_params, ref_cfg, _, vocab, _ = load_reference_checkpoint_cli(
             args.init_from_ref, ref_conf,
             reference_root=args.reference_root or None)
+        # the checkpoint dictates caption preprocessing; the data loaders
+        # below use the CLI flags, so a mismatch would feed the model
+        # differently-preprocessed batches (or crash on cap=None in jit)
+        if ref_cfg.include_caption != args.include_caption or \
+                ref_cfg.separate_caption != bool(args.separate_caption):
+            sys.exit(
+                f"--init-from-ref checkpoint was trained with "
+                f"--include-caption {ref_cfg.include_caption} "
+                f"--separate-caption {int(ref_cfg.separate_caption)}; pass "
+                f"matching flags (got --include-caption "
+                f"{args.include_caption} --separate-caption "
+                f"{args.separate_caption}) so the training data is "
+                f"preprocessed the way the model expects")
         ref_init = (ref_params, ref_cfg)
         logging.info("--init-from-ref %s: vocab (%d words) and model shape "
                      "come from the checkpoint", args.init_from_ref,
@@ -270,15 +280,22 @@ def main(argv=None):
     logging.info("#validation sample = %d  #validation batch = %d",
                  len(valid_data.examples), len(valid_loader))
 
-    state, tx = create_train_state(jax.random.PRNGKey(args.rand_seed), cfg, tcfg)
     if ref_init is not None:
         import jax.numpy as jnp
 
+        from bist_tpu.train.schedule import make_optimizer
+
+        # no throwaway init_model: the checkpoint provides the params
+        tx = make_optimizer(cfg.d_model, tcfg.warmup_steps, tcfg.noam_factor,
+                            tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps)
         ref_p = jax.tree_util.tree_map(jnp.asarray, ref_init[0])
         state = TrainState(params=ref_p, opt_state=tx.init(ref_p),
-                           step=state.step)
+                           step=jnp.zeros((), jnp.int32))
         logging.info("params initialised from the reference checkpoint "
                      "(fresh optimizer state)")
+    else:
+        state, tx = create_train_state(jax.random.PRNGKey(args.rand_seed),
+                                       cfg, tcfg)
     start_epoch = 0
     min_valid_loss = 1.0e10
     resume_path = args.resume
