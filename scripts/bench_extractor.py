@@ -30,6 +30,11 @@ def main():
     p.add_argument("--device", default="")
     p.add_argument("--bf16", type=int, default=0)
     p.add_argument("--chain", type=int, default=1)
+    p.add_argument("--ab-s2d", type=int, default=0,
+                   help="interleaved A/B of the space-to-depth stem vs the "
+                        "direct 7^3 conv in ONE process/tunnel window "
+                        "(separate-process extractor runs vary +-10% with "
+                        "tunnel weather)")
     args = p.parse_args()
     if args.device == "cpu":
         import jax
@@ -46,6 +51,59 @@ def main():
     clips = jnp.asarray(
         np.random.default_rng(0).standard_normal(
             (args.batch, 16, 112, 112, 3)), dt_)
+
+    if args.ab_s2d:
+        import statistics
+
+        import bist_tpu.models.resnext3d as rx
+        from bist_tpu.utils.benchtime import unprovable_zero
+
+        n_it = args.iters
+
+        def build(flag):
+            # STEM_S2D is read at TRACE time — compile this wrapper's two
+            # chain lengths while the flag is set, then restore it
+            old = rx.STEM_S2D
+            rx.STEM_S2D = flag
+
+            @partial(jax.jit, static_argnames="n")
+            def chain(p_, c_, n):
+                def body(acc, _):
+                    c2 = c_ + unprovable_zero(acc).astype(dt_)
+                    out = resnext101_apply(p_, c2, mode="spatio_temporal")
+                    return acc + jnp.sum(out).astype(jnp.float32), None
+
+                out, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+                return out
+
+            try:
+                for n in (n_it, 2 * n_it):
+                    float(chain(params, clips, n=n))
+            finally:
+                rx.STEM_S2D = old
+            return chain
+
+        ch_s2d, ch_dir = build(True), build(False)
+
+        def timed(ch, n):
+            t0 = time.perf_counter()
+            float(ch(params, clips, n=n))
+            return time.perf_counter() - t0
+
+        t = {k: [] for k in ("a1", "a2", "b1", "b2")}
+        for _ in range(args.reps):
+            t["a1"].append(timed(ch_s2d, n_it))
+            t["b1"].append(timed(ch_dir, n_it))
+            t["a2"].append(timed(ch_s2d, 2 * n_it))
+            t["b2"].append(timed(ch_dir, 2 * n_it))
+        med = {k: statistics.median(v) for k, v in t.items()}
+        ms_a = max(med["a2"] - med["a1"], 1e-9) / n_it * 1e3
+        ms_b = max(med["b2"] - med["b1"], 1e-9) / n_it * 1e3
+        print(f"s2d stem: {args.batch / ms_a * 1e3:.1f} clips/sec  "
+              f"direct stem: {args.batch / ms_b * 1e3:.1f} clips/sec  "
+              f"(s2d speedup {ms_b / ms_a:.3f}x; batch {args.batch}, "
+              f"bf16={args.bf16}, {args.reps} interleaved reps)")
+        return
 
     if args.chain:
         from bist_tpu.utils.benchtime import chain_diff_ms, unprovable_zero

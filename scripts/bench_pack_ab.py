@@ -290,7 +290,10 @@ def main():
 
                 return chain
 
-            n_op = 64
+            # chain long enough that the (2n − n) wall-time difference
+            # clears the tunnel's multi-ms per-call RTT jitter: at ~10 us/op
+            # 512 ops ≈ 5 ms of signal; 64 was measured as 0.0 (round 4)
+            n_op = 512
             ch_ph = build_attn_chain((Kh, Vh))
             ch_bd = build_attn_chain((Kbd, Vbd))
             for ch in (ch_ph, ch_bd):

@@ -30,6 +30,14 @@ def main():
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="in-flight batches under backlog (1 = serial)")
+    ap.add_argument("--ab", type=int, default=0,
+                    help="interleaved pipeline-depth A/B: run this many "
+                         "ROUNDS alternating depth 1 / --pipeline-depth on "
+                         "ONE responder (shared compiled programs, same "
+                         "tunnel window) and report per-depth means — "
+                         "separate-process runs are drowned by tunnel "
+                         "weather (round 4: 216.9 vs 65.2 req/s for the "
+                         "SAME workload in adjacent minutes)")
     ap.add_argument("--t-clips", type=int, default=16)
     ap.add_argument("--feat-int8", type=int, default=0)
     ap.add_argument("--dv", type=int, default=2048)
@@ -60,48 +68,73 @@ def main():
     print("warmup compile (all batch buckets)...", file=sys.stderr)
     responder.warmup(feature_shape=(16, args.dv), t_clips=args.t_clips,
                      all_batch_buckets=True)
-    server = DynamicBatcher(responder, max_batch=args.max_batch,
-                            max_wait_ms=args.max_wait_ms,
-                            pipeline_depth=args.pipeline_depth)
-    server.start()
-
     rng = np.random.default_rng(0)
     fts_pool = [rng.standard_normal((args.t_clips, 16, args.dv))
                 .astype(np.float32) for _ in range(4)]
     qs = ["what is the person doing in the video",
           "is there any sound in the background",
           "how many people are visible", "does he sit down at the end"]
-    lat = []
-    lock = threading.Lock()
-    it = iter(range(args.requests))
 
-    def client():
-        while True:
-            with lock:
-                i = next(it, None)
-            if i is None:
-                return
-            t0 = time.perf_counter()
-            server.submit(qs[i % 4], history="a man is in a room",
-                          caption="a man does things",
-                          features=fts_pool[i % 4])
-            with lock:
-                lat.append(time.perf_counter() - t0)
+    def run_round(server):
+        lat = []
+        lock = threading.Lock()
+        it = iter(range(args.requests))
 
-    threads = [threading.Thread(target=client) for _ in range(args.clients)]
-    t0 = time.time()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.time() - t0
+        def client():
+            while True:
+                with lock:
+                    i = next(it, None)
+                if i is None:
+                    return
+                t0 = time.perf_counter()
+                server.submit(qs[i % 4], history="a man is in a room",
+                              caption="a man does things",
+                              features=fts_pool[i % 4])
+                with lock:
+                    lat.append(time.perf_counter() - t0)
+
+        threads = [threading.Thread(target=client)
+                   for _ in range(args.clients)]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return time.time() - t0, sorted(lat), server.stats["batches"]
+
+    def make_server(depth):
+        server = DynamicBatcher(responder, max_batch=args.max_batch,
+                                max_wait_ms=args.max_wait_ms,
+                                pipeline_depth=depth)
+        server.start()
+        return server
+
+    if args.ab > 0:
+        depths = (1, max(args.pipeline_depth, 2))
+        walls = {d: [] for d in depths}
+        for r in range(args.ab):
+            for d in depths:
+                server = make_server(d)
+                wall, _, _ = run_round(server)
+                server.stop()
+                walls[d].append(wall)
+                print(f"round {r} depth {d}: "
+                      f"{args.requests / wall:.1f} req/s", file=sys.stderr)
+        for d in depths:
+            rps = [args.requests / w for w in walls[d]]
+            print(f"depth {d}: mean {statistics.mean(rps):.1f} req/s  "
+                  f"min {min(rps):.1f}  max {max(rps):.1f}  "
+                  f"({args.ab} interleaved rounds x {args.requests} reqs)")
+        return
+
+    server = make_server(args.pipeline_depth)
+    wall, lat, n_batches = run_round(server)
     server.stop()
-    lat.sort()
     p = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)] * 1e3
     print(f"{args.requests} requests, {args.clients} clients, "
           f"max_batch {args.max_batch}: {args.requests / wall:.1f} req/s; "
           f"latency p50 {p(0.50):.0f} ms  p90 {p(0.90):.0f} ms  "
-          f"p99 {p(0.99):.0f} ms; batches {server.stats['batches']}")
+          f"p99 {p(0.99):.0f} ms; batches {n_batches}")
 
 
 if __name__ == "__main__":
