@@ -24,7 +24,10 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--batch", default="16",
+                   help="batch size, or comma-separated sizes measured in "
+                        "ONE process/tunnel window (separate-process sweeps "
+                        "vary ±10%% with tunnel weather)")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--device", default="")
@@ -48,9 +51,20 @@ def main():
     dt_ = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.bf16:
         params = jax.tree_util.tree_map(lambda x: x.astype(dt_), params)
+    batches = [int(b) for b in str(args.batch).split(",")]
+    for bs in batches:
+        run_one(args, bs, params, dt_)
+
+
+def run_one(args, batch, params, dt_):
+    import jax
+    import jax.numpy as jnp
+
+    from bist_tpu.models.resnext3d import resnext101_apply
+
     clips = jnp.asarray(
         np.random.default_rng(0).standard_normal(
-            (args.batch, 16, 112, 112, 3)), dt_)
+            (batch, 16, 112, 112, 3)), dt_)
 
     if args.ab_s2d:
         import statistics
@@ -99,9 +113,9 @@ def main():
         med = {k: statistics.median(v) for k, v in t.items()}
         ms_a = max(med["a2"] - med["a1"], 1e-9) / n_it * 1e3
         ms_b = max(med["b2"] - med["b1"], 1e-9) / n_it * 1e3
-        print(f"s2d stem: {args.batch / ms_a * 1e3:.1f} clips/sec  "
-              f"direct stem: {args.batch / ms_b * 1e3:.1f} clips/sec  "
-              f"(s2d speedup {ms_b / ms_a:.3f}x; batch {args.batch}, "
+        print(f"s2d stem: {batch / ms_a * 1e3:.1f} clips/sec  "
+              f"direct stem: {batch / ms_b * 1e3:.1f} clips/sec  "
+              f"(s2d speedup {ms_b / ms_a:.3f}x; batch {batch}, "
               f"bf16={args.bf16}, {args.reps} interleaved reps)")
         return
 
@@ -132,9 +146,9 @@ def main():
         for _ in range(args.iters):
             np.asarray(fn(params, clips))   # force full D2H drain per iter
         dt = (time.time() - t0) / args.iters
-    cps = args.batch / dt
+    cps = batch / dt
     # one clip covers 16 frames with stride 4 → 4 frames of video at ~24fps
-    print(f"{cps:.1f} clips/sec (batch {args.batch}, {dt*1e3:.0f} ms/batch; "
+    print(f"{cps:.1f} clips/sec (batch {batch}, {dt*1e3:.0f} ms/batch; "
           f"~{cps * 4 / 24:.1f}x realtime video at 24fps stride 4)")
 
 

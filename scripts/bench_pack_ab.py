@@ -35,6 +35,9 @@ def main():
                              "bdcross", "regroupmm", "decodeops", "both"])
     ap.add_argument("--unroll", type=int, default=3,
                     help="beam-scan unroll factor for --what unroll")
+    ap.add_argument("--unroll-b", type=int, default=1,
+                    help="baseline unroll factor for --what unroll (head-to-"
+                         "head A/B of two candidates in one tunnel window)")
     ap.add_argument("--d-model", type=int, default=128,
                     help="model width (128 = flagship; 512 = reference "
                          "default width) for regime-dependent A/Bs")
@@ -168,7 +171,7 @@ def main():
         gc_bf = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
                                cache_dtype="bfloat16")
         dc_un = build_decode_chain(False, gc=gc_bf, unroll=args.unroll)
-        dc_1 = build_decode_chain(False, gc=gc_bf, unroll=1)
+        dc_1 = build_decode_chain(False, gc=gc_bf, unroll=args.unroll_b)
         a_1, b_1 = interleave(lambda: float(dc_un(params, batch, n=2)),
                               lambda: float(dc_1(params, batch, n=2)),
                               args.reps)
@@ -177,9 +180,9 @@ def main():
                               args.reps)
         un = max(a_2 - a_1, 0.0) / 4 * 1e3
         base = max(b_2 - b_1, 0.0) / 4 * 1e3
-        print(f"beam batch  unroll={args.unroll}: {un:.2f} ms  unroll=1: "
-              f"{base:.2f} ms  (unroll speedup {base / max(un, 1e-9):.3f}x; "
-              f"batch {B})")
+        print(f"beam batch  unroll={args.unroll}: {un:.2f} ms  "
+              f"unroll={args.unroll_b}: {base:.2f} ms  "
+              f"(unroll speedup {base / max(un, 1e-9):.3f}x; batch {B})")
 
     if args.what == "computedtype":
         # decode-step activation dtype A/B on top of the shipped bf16-cache +
