@@ -123,7 +123,7 @@ def _bn(p, x):
     return x * p["scale"] + p["bias"]
 
 
-# Space-to-depth stem (BIST_STEM_S2D=0 restores the direct conv).  The 7³
+# Space-to-depth stem (BIST_STEM_S2D=1 enables it; default OFF).  The 7³
 # stride-(1,2,2) stem is ~43% of ResNeXt-101 3D's FLOPs and has C_in=3 —
 # three of the MXU's 128 contraction lanes do work (the classic TPU
 # first-conv pathology; cf. the MLPerf ResNet conv0 space-to-depth
@@ -131,10 +131,13 @@ def _bn(p, x):
 # input — (T,112,112,3) → (T,56,56,12), kernel 7×7×7 → 7×4×4 over 12
 # channels, stride (1,2,2) → (1,1,1), asymmetric pad (2,1) — multiplies
 # contraction-lane utilisation by 4 at +31% stem FLOPs (the odd 7-tap
-# window forces one zero phase-tap per s2d dim: 8·8/49).
+# window forces one zero phase-tap per s2d dim: 8·8/49).  MEASURED 0.873×
+# on the v5e in a same-process interleaved A/B (BENCH.md round 4): XLA's
+# own conv lowering already handles the thin-C_in stem better than the
+# +31%-FLOP rewrite — kept off by default, equality-tested either way.
 import os as _os
 
-STEM_S2D = _os.environ.get("BIST_STEM_S2D", "1") != "0"
+STEM_S2D = _os.environ.get("BIST_STEM_S2D", "0") != "0"
 
 
 def _stem_s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
