@@ -55,9 +55,9 @@ def build_parser():
                         "flip; trained models are more robust) — f32 stays "
                         "the parity default")
     p.add_argument("--scan-unroll", default=1, type=int,
-                   help="beam-scan body replication (identical numerics); 6 "
-                        "measured 1.13x decode throughput on the v5e "
-                        "(BENCH.md round 3) at ~6x compile time — worthwhile "
+                   help="beam-scan body replication (identical numerics); 8 "
+                        "measured 1.25x decode throughput vs 1 on the v5e "
+                        "(BENCH.md round 4) at ~8x compile time — worthwhile "
                         "for long runs, left at 1 for one-shot eval")
     p.add_argument("--undisclosed-only", default=0, type=int)
     p.add_argument("--labeled-test", default=None, type=str)
