@@ -171,6 +171,46 @@ def _stem_conv(x, w):
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
+# Grouped-conv group merging (BIST_GROUP_CH=<target ch/group>; default 0 =
+# off).  ResNeXt's 32-way grouped 3³ convs have 4/8/16/32 channels per group
+# across stages 1-4, and the measured per-stage MFU tracks that granularity
+# (13%/27%/61% for stages 1-3, BENCH.md round 4): each group's output-channel
+# extent fills only cg of the MXU's 128 output lanes.  Merging m groups into
+# one block-diagonal group (zero weights off the diagonal) raises the lane
+# fill ×m at ×m the conv FLOPs — numerically identical (the extra taps
+# multiply exact zeros).  The first-order model says time is INVARIANT
+# (utilisation ∝ ch/group cancels the FLOP growth); this knob exists to
+# measure whether the real lowering has a granularity sweet spot.
+GROUP_CH = int(_os.environ.get("BIST_GROUP_CH", "0"))
+
+
+def _merge_groups_kernel(w: jnp.ndarray, groups: int, m: int) -> jnp.ndarray:
+    """(kd,kh,kw,cg,Co) fgc=`groups` kernel → the exact (kd,kh,kw,m·cg,Co)
+    fgc=groups/m block-diagonal form.
+
+    Output channel o of original group g = o // (Co/groups) lands in merged
+    group g' = g//m at slot j = g%m; its true weights occupy input slice
+    [j·cg,(j+1)·cg) of the merged block, zeros elsewhere — the added taps
+    contribute exact 0.0 terms, so the conv output is unchanged."""
+    kd, kh, kw, cg, co = w.shape
+    og = co // groups
+    w_r = w.reshape(kd, kh, kw, cg, groups // m, m, og)
+    eye = jnp.eye(m, dtype=w.dtype)
+    w2 = jnp.einsum("dhwcgjo,kj->dhwkcgjo", w_r, eye)
+    return w2.reshape(kd, kh, kw, m * cg, co)
+
+
+def _grouped_conv2(x, w, stride):
+    groups = CARDINALITY
+    if GROUP_CH:
+        cg = w.shape[3]
+        m = max(1, min(groups, GROUP_CH // max(cg, 1)))
+        if m > 1:
+            w = _merge_groups_kernel(w, groups, m)
+            groups = CARDINALITY // m
+    return _conv3d(x, w, stride=stride, groups=groups)
+
+
 def _maxpool3d(x, window=(3, 3, 3), stride=(2, 2, 2)):
     pads = [(0, 0)] + [(w // 2, w // 2) for w in window] + [(0, 0)]
     return jax.lax.reduce_window(
@@ -180,9 +220,8 @@ def _maxpool3d(x, window=(3, 3, 3), stride=(2, 2, 2)):
 
 def _block(p: Params, x, stride):
     out = jax.nn.relu(_bn(p["bn1"], _conv3d(x, p["conv1"])))
-    out = jax.nn.relu(_bn(p["bn2"], _conv3d(out, p["conv2"],
-                                            stride=(stride,) * 3,
-                                            groups=CARDINALITY)))
+    out = jax.nn.relu(_bn(p["bn2"], _grouped_conv2(out, p["conv2"],
+                                                   stride=(stride,) * 3)))
     out = _bn(p["bn3"], _conv3d(out, p["conv3"]))
     if "down_conv" in p:
         x = _bn(p["down_bn"], _conv3d(x, p["down_conv"],

@@ -38,6 +38,10 @@ def main():
                         "direct 7^3 conv in ONE process/tunnel window "
                         "(separate-process extractor runs vary +-10% with "
                         "tunnel weather)")
+    p.add_argument("--ab-groupmerge", type=int, default=0,
+                   help="interleaved A/B of block-diagonal group merging "
+                        "(BIST_GROUP_CH=<N> target channels/group, exact "
+                        "numerics) vs the native 32-way grouped convs")
     args = p.parse_args()
     if args.device == "cpu":
         import jax
@@ -66,19 +70,26 @@ def run_one(args, batch, params, dt_):
         np.random.default_rng(0).standard_normal(
             (batch, 16, 112, 112, 3)), dt_)
 
-    if args.ab_s2d:
+    if args.ab_s2d or args.ab_groupmerge:
         import statistics
 
         import bist_tpu.models.resnext3d as rx
         from bist_tpu.utils.benchtime import unprovable_zero
 
+        if args.ab_s2d:
+            attr, a_val, b_val = "STEM_S2D", True, False
+            a_name, b_name = "s2d stem", "direct stem"
+        else:
+            attr, a_val, b_val = "GROUP_CH", args.ab_groupmerge, 0
+            a_name = f"group-merge ch/group={args.ab_groupmerge}"
+            b_name = "native 32-way grouped"
         n_it = args.iters
 
         def build(flag):
-            # STEM_S2D is read at TRACE time — compile this wrapper's two
-            # chain lengths while the flag is set, then restore it
-            old = rx.STEM_S2D
-            rx.STEM_S2D = flag
+            # the flag is read at TRACE time — compile this wrapper's two
+            # chain lengths while it is set, then restore it
+            old = getattr(rx, attr)
+            setattr(rx, attr, flag)
 
             @partial(jax.jit, static_argnames="n")
             def chain(p_, c_, n):
@@ -94,10 +105,10 @@ def run_one(args, batch, params, dt_):
                 for n in (n_it, 2 * n_it):
                     float(chain(params, clips, n=n))
             finally:
-                rx.STEM_S2D = old
+                setattr(rx, attr, old)
             return chain
 
-        ch_s2d, ch_dir = build(True), build(False)
+        ch_s2d, ch_dir = build(a_val), build(b_val)
 
         def timed(ch, n):
             t0 = time.perf_counter()
@@ -113,9 +124,9 @@ def run_one(args, batch, params, dt_):
         med = {k: statistics.median(v) for k, v in t.items()}
         ms_a = max(med["a2"] - med["a1"], 1e-9) / n_it * 1e3
         ms_b = max(med["b2"] - med["b1"], 1e-9) / n_it * 1e3
-        print(f"s2d stem: {batch / ms_a * 1e3:.1f} clips/sec  "
-              f"direct stem: {batch / ms_b * 1e3:.1f} clips/sec  "
-              f"(s2d speedup {ms_b / ms_a:.3f}x; batch {batch}, "
+        print(f"{a_name}: {batch / ms_a * 1e3:.1f} clips/sec  "
+              f"{b_name}: {batch / ms_b * 1e3:.1f} clips/sec  "
+              f"(A speedup {ms_b / ms_a:.3f}x; batch {batch}, "
               f"bf16={args.bf16}, {args.reps} interleaved reps)")
         return
 

@@ -96,13 +96,18 @@ def main():
             out, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
             return out
 
-        # AOT-compile both lengths so cost analysis reads the TIMED program
+        # AOT-compile both lengths so cost analysis reads the TIMED program.
+        # NOTE: XLA cost analysis counts a lax.scan's while-loop BODY ONCE
+        # (not × trip count), so ca["flops"] is already per-iteration —
+        # verified against hand-computed conv FLOPs (stem: 5.72 GFLOP/clip,
+        # extractor_flops.py) and against a CPU n=1 control.  The first cut
+        # of this script divided by n and under-read MFU 3× at --iters 3.
         c1 = chain.lower(params, x, n=n).compile()
         c2 = chain.lower(params, x, n=2 * n).compile()
         ca = c1.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
-        gflop = float(ca.get("flops", 0.0)) / n / 1e9
+        gflop = float(ca.get("flops", 0.0)) / 1e9
         return x, c1, c2, gflop
 
     built = {}
@@ -137,6 +142,10 @@ def main():
         x, c1, c2, gflop = built[name]
         ms = max(statistics.median(t2[name]) - statistics.median(t1[name]),
                  1e-9) / n * 1e3
+        if ms < 0.05:   # (2n-n) difference below tunnel-RTT jitter
+            print(f"  {name:12s} ≤jitter ({ms:.3f} ms/batch) "
+                  f"{gflop:8.1f} GFLOP")
+            continue
         mfu = gflop * 1e9 / (ms / 1e3) / peak
         if name == "WHOLE NET":
             stage_sum = total_ms

@@ -181,3 +181,52 @@ def test_stem_s2d_equals_direct_conv():
     np.testing.assert_array_equal(
         np.asarray(rx._stem_conv(x_odd, w)),
         np.asarray(rx._conv3d(x_odd, w, stride=(1, 2, 2))))
+
+
+def test_group_merge_equals_native_grouped_conv():
+    """Block-diagonal group merging (BIST_GROUP_CH, round 4) is an EXACT
+    reformulation of the 32-way grouped 3^3 conv: the off-diagonal weights
+    are 0.0, so every added tap contributes an exact zero term (the real
+    terms may be REASSOCIATED by the different fgc lowering — measured
+    bit-exact at m=2/4, ~1e-5 abs at m=8 — hence float tolerance, like the
+    s2d stem test).  Checked at the kernel level (merge factors 2/4/8) and
+    end-to-end through _block."""
+    from bist_tpu.models import resnext3d as rx
+
+    rng = np.random.default_rng(1)
+    planes = 64                       # 2 ch/group at cardinality 32
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, 3, planes // rx.CARDINALITY, planes))
+        .astype(np.float32))
+    x = jnp.asarray(
+        rng.standard_normal((2, 4, 8, 8, planes)).astype(np.float32))
+    ref = rx._conv3d(x, w, groups=rx.CARDINALITY)
+    for m in (2, 4, 8):
+        w2 = rx._merge_groups_kernel(w, rx.CARDINALITY, m)
+        assert w2.shape == (3, 3, 3, m * planes // rx.CARDINALITY, planes)
+        got = rx._conv3d(x, w2, groups=rx.CARDINALITY // m)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    # end-to-end: a whole bottleneck block under the module flag
+    blk = {
+        "conv1": jnp.asarray(
+            rng.standard_normal((1, 1, 1, 32, planes)).astype(np.float32)),
+        "bn1": {"scale": jnp.ones((planes,)), "bias": jnp.zeros((planes,))},
+        "conv2": w,
+        "bn2": {"scale": jnp.ones((planes,)), "bias": jnp.zeros((planes,))},
+        "conv3": jnp.asarray(
+            rng.standard_normal((1, 1, 1, planes, 32)).astype(np.float32)),
+        "bn3": {"scale": jnp.ones((32,)), "bias": jnp.zeros((32,))},
+    }
+    x_blk = jnp.asarray(
+        rng.standard_normal((2, 4, 8, 8, 32)).astype(np.float32))
+    base = rx._block(blk, x_blk, stride=1)
+    old = rx.GROUP_CH
+    try:
+        rx.GROUP_CH = 16              # -> merge factor 8 at 2 ch/group
+        merged = rx._block(blk, x_blk, stride=1)
+    finally:
+        rx.GROUP_CH = old
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(base),
+                               atol=2e-4, rtol=2e-4)
