@@ -171,17 +171,30 @@ def _stem_conv(x, w):
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
-# Grouped-conv group merging (BIST_GROUP_CH=<target ch/group>; default 0 =
-# off).  ResNeXt's 32-way grouped 3³ convs have 4/8/16/32 channels per group
-# across stages 1-4, and the measured per-stage MFU tracks that granularity
-# (13%/27%/61% for stages 1-3, BENCH.md round 4): each group's output-channel
-# extent fills only cg of the MXU's 128 output lanes.  Merging m groups into
-# one block-diagonal group (zero weights off the diagonal) raises the lane
-# fill ×m at ×m the conv FLOPs — numerically identical (the extra taps
-# multiply exact zeros).  The first-order model says time is INVARIANT
-# (utilisation ∝ ch/group cancels the FLOP growth); this knob exists to
-# measure whether the real lowering has a granularity sweet spot.
-GROUP_CH = int(_os.environ.get("BIST_GROUP_CH", "0"))
+# Grouped-conv group merging (BIST_GROUP_CH=<target ch/group>; default 16 —
+# the measured v5e sweet spot).  ResNeXt's 32-way grouped 3³ convs have
+# 4/8/16/32 channels per group across stages 1-4, and the measured per-stage
+# MFU tracks that granularity (12%/28%/61% for stages 1-3, BENCH.md round 4):
+# each group's output-channel extent fills only cg of the MXU's 128 output
+# lanes.  Merging m groups into one block-diagonal group (zero weights off
+# the diagonal) raises the lane fill ×m at ×m the conv FLOPs — numerically
+# identical (the extra taps multiply exact zeros; bit-exact at the m=2/4
+# factors this default activates).  Interleaved v5e A/B (BENCH.md round 4):
+# ch/group=16 → 1.116× whole-net clips/s, ch/group=32 → 1.049×; 16 ships.
+# Accepts either one int (global target) or a comma list "t4,t8,t16,t32"
+# of per-granularity targets keyed by the conv's NATIVE channels/group
+# (4/8/16/32 = stages 1-4), so the merge depth can differ per stage.
+def _parse_group_ch(spec: str):
+    parts = [int(p) for p in str(spec).split(",")]
+    if len(parts) == 1:
+        return parts[0]
+    if len(parts) != 4:
+        raise ValueError(
+            f"BIST_GROUP_CH wants 1 or 4 comma-separated ints, got {spec!r}")
+    return {4: parts[0], 8: parts[1], 16: parts[2], 32: parts[3]}
+
+
+GROUP_CH = _parse_group_ch(_os.environ.get("BIST_GROUP_CH", "16"))
 
 
 def _merge_groups_kernel(w: jnp.ndarray, groups: int, m: int) -> jnp.ndarray:
@@ -204,7 +217,8 @@ def _grouped_conv2(x, w, stride):
     groups = CARDINALITY
     if GROUP_CH:
         cg = w.shape[3]
-        m = max(1, min(groups, GROUP_CH // max(cg, 1)))
+        target = GROUP_CH.get(cg, 0) if isinstance(GROUP_CH, dict) else GROUP_CH
+        m = max(1, min(groups, target // max(cg, 1)))
         if m > 1:
             w = _merge_groups_kernel(w, groups, m)
             groups = CARDINALITY // m

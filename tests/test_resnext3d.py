@@ -230,3 +230,38 @@ def test_group_merge_equals_native_grouped_conv():
         rx.GROUP_CH = old
     np.testing.assert_allclose(np.asarray(merged), np.asarray(base),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_group_ch_per_stage_spec():
+    """BIST_GROUP_CH accepts a comma list of per-granularity targets keyed
+    by the conv's NATIVE channels/group (4/8/16/32 = stages 1-4), so merge
+    depth can differ per stage.  The dict path through _grouped_conv2 must
+    stay numerically equal to the native grouped conv, and an unknown
+    native cg must fall through to no merging."""
+    from bist_tpu.models import resnext3d as rx
+
+    assert rx._parse_group_ch("16") == 16
+    spec = rx._parse_group_ch("32,16,16,32")
+    assert spec == {4: 32, 8: 16, 16: 16, 32: 32}
+    with pytest.raises(ValueError):
+        rx._parse_group_ch("4,8")
+
+    rng = np.random.default_rng(2)
+    planes = 128                      # native cg=4 at cardinality 32 (stage1)
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, 3, planes // rx.CARDINALITY, planes))
+        .astype(np.float32))
+    x = jnp.asarray(
+        rng.standard_normal((2, 4, 8, 8, planes)).astype(np.float32))
+    ref = rx._conv3d(x, w, groups=rx.CARDINALITY)
+    old = rx.GROUP_CH
+    try:
+        rx.GROUP_CH = spec            # cg=4 -> target 32 -> m=8
+        got = rx._grouped_conv2(x, w, stride=(1, 1, 1))
+        rx.GROUP_CH = {8: 16}         # cg=4 missing -> no merge, still exact
+        got_nomerge = rx._grouped_conv2(x, w, stride=(1, 1, 1))
+    finally:
+        rx.GROUP_CH = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_array_equal(np.asarray(got_nomerge), np.asarray(ref))
