@@ -38,10 +38,14 @@ def main():
                         "direct 7^3 conv in ONE process/tunnel window "
                         "(separate-process extractor runs vary +-10% with "
                         "tunnel weather)")
-    p.add_argument("--ab-groupmerge", type=int, default=0,
+    p.add_argument("--ab-groupmerge", default="0",
                    help="interleaved A/B of block-diagonal group merging "
-                        "(BIST_GROUP_CH=<N> target channels/group, exact "
-                        "numerics) vs the native 32-way grouped convs")
+                        "(BIST_GROUP_CH spec: one int target channels/group "
+                        "or a per-granularity 't4,t8,t16,t32' list, exact "
+                        "numerics) vs --ab-groupmerge-vs")
+    p.add_argument("--ab-groupmerge-vs", default="0",
+                   help="the B side of --ab-groupmerge (same spec syntax; "
+                        "default 0 = native 32-way grouped convs)")
     args = p.parse_args()
     if args.device == "cpu":
         import jax
@@ -70,7 +74,7 @@ def run_one(args, batch, params, dt_):
         np.random.default_rng(0).standard_normal(
             (batch, 16, 112, 112, 3)), dt_)
 
-    if args.ab_s2d or args.ab_groupmerge:
+    if args.ab_s2d or str(args.ab_groupmerge) != "0":
         import statistics
 
         import bist_tpu.models.resnext3d as rx
@@ -80,9 +84,13 @@ def run_one(args, batch, params, dt_):
             attr, a_val, b_val = "STEM_S2D", True, False
             a_name, b_name = "s2d stem", "direct stem"
         else:
-            attr, a_val, b_val = "GROUP_CH", args.ab_groupmerge, 0
-            a_name = f"group-merge ch/group={args.ab_groupmerge}"
-            b_name = "native 32-way grouped"
+            attr = "GROUP_CH"
+            a_val = rx._parse_group_ch(args.ab_groupmerge)
+            b_val = rx._parse_group_ch(args.ab_groupmerge_vs)
+            a_name = f"group-merge {args.ab_groupmerge}"
+            b_name = (f"group-merge {args.ab_groupmerge_vs}"
+                      if str(args.ab_groupmerge_vs) != "0"
+                      else "native 32-way grouped")
         n_it = args.iters
 
         def build(flag):
