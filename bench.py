@@ -194,15 +194,16 @@ def main():
     n_batches = int(os.environ.get("BENCH_BATCHES", "16"))
     # bf16 KV cache = the serving default (1.68x measured, BENCH.md round 3;
     # BENCH_CACHE_DTYPE=float32 restores the bit-parity cache)
-    # scan_unroll=8: beam-scan body replication, identical numerics; 6 was
-    # 1.13x vs the plain loop (round 3), 8 measured a further 1.017x over 6
-    # head-to-head on the v5e (BENCH.md round 4; BENCH_UNROLL=1 restores the
-    # plain loop)
+    # scan_unroll=4: beam-scan body replication, identical numerics.  The
+    # full ladder at decider precision (iters=16/reps=7 interleaved, BENCH.md
+    # round 4 session 6): 4 beats 6 (1.041x), 3 (1.016x), 8 (6 beat 8 0.942x)
+    # and ties 2/12; 8's earlier reps=3 win (1.017x) was inside the noise
+    # band.  BENCH_UNROLL=1 restores the plain loop.
     gcfg = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
                           cache_dtype=os.environ.get("BENCH_CACHE_DTYPE",
                                                      "bfloat16"),
                           scan_unroll=int(os.environ.get("BENCH_UNROLL",
-                                                         "8")))
+                                                         "4")))
 
     # random bf16 feature grids with realistic clip counts, reused across
     # turns (feature *content* does not affect timing); each turn is assigned

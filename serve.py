@@ -95,12 +95,12 @@ def main(argv=None):
                         "generate.py")
     p.add_argument("--maxlen", type=int, default=12)
     p.add_argument("--penalty", type=float, default=1.0)
-    p.add_argument("--scan-unroll", type=int, default=8,
-                   help="beam-scan body replication (identical numerics); 6 "
-                        "measured 1.13x decode throughput vs the plain loop "
-                        "on the v5e (BENCH.md round 3), 8 a further 1.017x "
-                        "over 6 head-to-head (round 4), at ~8x warmup "
-                        "compile time; 1 restores the plain loop")
+    p.add_argument("--scan-unroll", type=int, default=4,
+                   help="beam-scan body replication (identical numerics); "
+                        "the decider-precision ladder (round 4 session 6) "
+                        "put 4 at the optimum — 1.041x over 6, which was "
+                        "itself 1.13x over the plain loop (round 3) — at "
+                        "~4x warmup compile time; 1 restores the plain loop")
     p.add_argument("--feat-s", type=int, default=0,
                    help="spatial grid size S of the deployed extractor's "
                         "(T, S, Dv) features: pins the served grid at "
