@@ -32,7 +32,11 @@ def main():
     ap.add_argument("--what", default="both",
                     choices=["train", "decode", "prng", "adam", "presplit",
                              "cachedtype", "unroll", "computedtype",
-                             "bdcross", "regroupmm", "decodeops", "both"])
+                             "batchsize", "bdcross", "regroupmm",
+                             "decodeops", "both"])
+    ap.add_argument("--batch-b", type=int, default=96,
+                    help="the B side of --what batchsize (decode-throughput "
+                         "A/B of two batch sizes in one tunnel window)")
     ap.add_argument("--unroll", type=int, default=3,
                     help="beam-scan unroll factor for --what unroll")
     ap.add_argument("--unroll-b", type=int, default=1,
@@ -68,18 +72,21 @@ def main():
     B, Lq, Lh, Lc, Lt, T, S, Dv = args.batch, 16, 64, 16, 16, 16, 16, 2048
     V = 4000
 
-    def toks(L):
-        x = rng.integers(4, V, size=(B, L)).astype(np.int32)
-        x[:, -1] = 1
-        return x
+    def make_batch(Bv):
+        def toks(L):
+            x = rng.integers(4, V, size=(Bv, L)).astype(np.int32)
+            x[:, -1] = 1
+            return x
 
-    batch = Batch(query=toks(Lq), his=toks(Lh), trg=toks(Lt), trg_y=toks(Lt),
+        b = Batch(query=toks(Lq), his=toks(Lh), trg=toks(Lt), trg_y=toks(Lt),
                   cap=toks(Lc),
-                  fts=rng.standard_normal((B, T, S, Dv)).astype(np.float32),
+                  fts=rng.standard_normal((Bv, T, S, Dv)).astype(np.float32),
                   audio_fts=None)
-    batch = jax.tree_util.tree_map(
-        lambda x: None if x is None else jax.device_put(x), batch,
-        is_leaf=lambda x: x is None)
+        return jax.tree_util.tree_map(
+            lambda x: None if x is None else jax.device_put(x), b,
+            is_leaf=lambda x: x is None)
+
+    batch = make_batch(B)
 
     cfg = ModelConfig(vocab_size=V, nb_blocks=3, nb_venc_blocks=3,
                       nb_cenc_blocks=3, d_model=args.d_model, att_h=8,
@@ -123,6 +130,14 @@ def main():
 
     gcfg = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5)
 
+    # Decode chains honour --iters too: chain lengths (d_lo, 3*d_lo), the
+    # 2*d_lo-call difference is the timed signal.  The first cut hard-coded
+    # (2, 6) — ~44 ms of signal at flagship shapes, comparable to tunnel-RTT
+    # jitter; the session-6 decider protocol (BENCH.md) wants >=8/24.
+    d_lo = max(2, n_it)
+    d_hi = 3 * d_lo
+    d_div = d_hi - d_lo
+
     def build_decode_chain(pack: bool, gc: "GenerateConfig" = None,
                            unroll: int = 1):
         layers.PACK_PROJECTIONS = pack
@@ -141,7 +156,7 @@ def main():
             out, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
             return out
 
-        for n in (2, 6):
+        for n in (d_lo, d_hi):
             float(chain(params, batch, n=n))
         return chain
 
@@ -152,14 +167,14 @@ def main():
             maxlen=12, beam=5, penalty=1.0, nbest=5,
             cache_dtype="bfloat16"))
         dc_f32 = build_decode_chain(False)
-        a_1, b_1 = interleave(lambda: float(dc_bf(params, batch, n=2)),
-                              lambda: float(dc_f32(params, batch, n=2)),
+        a_1, b_1 = interleave(lambda: float(dc_bf(params, batch, n=d_lo)),
+                              lambda: float(dc_f32(params, batch, n=d_lo)),
                               args.reps)
-        a_2, b_2 = interleave(lambda: float(dc_bf(params, batch, n=6)),
-                              lambda: float(dc_f32(params, batch, n=6)),
+        a_2, b_2 = interleave(lambda: float(dc_bf(params, batch, n=d_hi)),
+                              lambda: float(dc_f32(params, batch, n=d_hi)),
                               args.reps)
-        bf = max(a_2 - a_1, 0.0) / 4 * 1e3
-        f32 = max(b_2 - b_1, 0.0) / 4 * 1e3
+        bf = max(a_2 - a_1, 0.0) / d_div * 1e3
+        f32 = max(b_2 - b_1, 0.0) / d_div * 1e3
         print(f"beam batch  bf16-cache: {bf:.2f} ms  f32-cache: {f32:.2f} ms"
               f"  (bf16 speedup {f32 / max(bf, 1e-9):.3f}x; batch {B})")
 
@@ -172,17 +187,45 @@ def main():
                                cache_dtype="bfloat16")
         dc_un = build_decode_chain(False, gc=gc_bf, unroll=args.unroll)
         dc_1 = build_decode_chain(False, gc=gc_bf, unroll=args.unroll_b)
-        a_1, b_1 = interleave(lambda: float(dc_un(params, batch, n=2)),
-                              lambda: float(dc_1(params, batch, n=2)),
+        a_1, b_1 = interleave(lambda: float(dc_un(params, batch, n=d_lo)),
+                              lambda: float(dc_1(params, batch, n=d_lo)),
                               args.reps)
-        a_2, b_2 = interleave(lambda: float(dc_un(params, batch, n=6)),
-                              lambda: float(dc_1(params, batch, n=6)),
+        a_2, b_2 = interleave(lambda: float(dc_un(params, batch, n=d_hi)),
+                              lambda: float(dc_1(params, batch, n=d_hi)),
                               args.reps)
-        un = max(a_2 - a_1, 0.0) / 4 * 1e3
-        base = max(b_2 - b_1, 0.0) / 4 * 1e3
+        un = max(a_2 - a_1, 0.0) / d_div * 1e3
+        base = max(b_2 - b_1, 0.0) / d_div * 1e3
         print(f"beam batch  unroll={args.unroll}: {un:.2f} ms  "
               f"unroll={args.unroll_b}: {base:.2f} ms  "
               f"(unroll speedup {base / max(un, 1e-9):.3f}x; batch {B})")
+
+    if args.what == "batchsize":
+        # decode batch-size A/B in THROUGHPUT terms (resp/s) under the
+        # shipped bf16-cache default.  The round-3 B sweep (64 → 4126,
+        # 96 → 3919, 128 → 3464 resp/s) ran same-window but NOT interleaved;
+        # at the session-6 noise floor the 64-vs-96 margin (5%) needs a
+        # decider read.  Both batch shapes go through ONE chain wrapper
+        # (jit specializes per shape), interleaved ABAB.
+        gc_bf = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
+                               cache_dtype="bfloat16")
+        batch_b = make_batch(args.batch_b)
+        dc = build_decode_chain(False, gc=gc_bf, unroll=args.unroll)
+        for n in (d_lo, d_hi):                  # warm the B-side shapes
+            float(dc(params, batch_b, n=n))
+        a_1, b_1 = interleave(lambda: float(dc(params, batch, n=d_lo)),
+                              lambda: float(dc(params, batch_b, n=d_lo)),
+                              args.reps)
+        a_2, b_2 = interleave(lambda: float(dc(params, batch, n=d_hi)),
+                              lambda: float(dc(params, batch_b, n=d_hi)),
+                              args.reps)
+        a_ms = max(a_2 - a_1, 1e-9) / d_div * 1e3
+        b_ms = max(b_2 - b_1, 1e-9) / d_div * 1e3
+        resp_a = args.batch / a_ms * 1e3
+        resp_b = args.batch_b / b_ms * 1e3
+        print(f"beam decode  B={args.batch}: {a_ms:.2f} ms/call = "
+              f"{resp_a:.0f} resp/s  B={args.batch_b}: {b_ms:.2f} ms/call = "
+              f"{resp_b:.0f} resp/s  "
+              f"(B={args.batch} speedup {resp_a / max(resp_b, 1e-9):.3f}x)")
 
     if args.what == "computedtype":
         # decode-step activation dtype A/B on top of the shipped bf16-cache +
@@ -194,21 +237,21 @@ def main():
                               compute_dtype="bfloat16")
         dc_b = build_decode_chain(False, gc=gc_b, unroll=args.unroll)
         dc_f = build_decode_chain(False, gc=gc_f, unroll=args.unroll)
-        a_1, b_1 = interleave(lambda: float(dc_b(params, batch, n=2)),
-                              lambda: float(dc_f(params, batch, n=2)),
+        a_1, b_1 = interleave(lambda: float(dc_b(params, batch, n=d_lo)),
+                              lambda: float(dc_f(params, batch, n=d_lo)),
                               args.reps)
-        a_2, b_2 = interleave(lambda: float(dc_b(params, batch, n=6)),
-                              lambda: float(dc_f(params, batch, n=6)),
+        a_2, b_2 = interleave(lambda: float(dc_b(params, batch, n=d_hi)),
+                              lambda: float(dc_f(params, batch, n=d_hi)),
                               args.reps)
-        bf = max(a_2 - a_1, 0.0) / 4 * 1e3
-        f32 = max(b_2 - b_1, 0.0) / 4 * 1e3
+        bf = max(a_2 - a_1, 0.0) / d_div * 1e3
+        f32 = max(b_2 - b_1, 0.0) / d_div * 1e3
         print(f"beam batch  bf16-compute: {bf:.2f} ms  f32-compute: "
               f"{f32:.2f} ms  (bf16-compute speedup {f32 / max(bf, 1e-9):.3f}x"
               f"; batch {B}, unroll {args.unroll})")
 
     def flag_chain_ab(set_flag, label_a, label_b):
         """A/B a trace-time module flag over the shipped bf16-cache decode
-        chain: build both programs, interleave n=2/n=6 chain differences,
+        chain: build both programs, interleave d_lo/d_hi chain differences,
         print per-step ms + speedup of A over B (methodology as the other
         chain A/Bs — data-dependent iterations, warm pairs)."""
         gc_bf = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
@@ -219,14 +262,14 @@ def main():
             return build_decode_chain(False, gc=gc_bf, unroll=args.unroll)
 
         dc_a, dc_b = build(True), build(False)
-        a_1, b_1 = interleave(lambda: float(dc_a(params, batch, n=2)),
-                              lambda: float(dc_b(params, batch, n=2)),
+        a_1, b_1 = interleave(lambda: float(dc_a(params, batch, n=d_lo)),
+                              lambda: float(dc_b(params, batch, n=d_lo)),
                               args.reps)
-        a_2, b_2 = interleave(lambda: float(dc_a(params, batch, n=6)),
-                              lambda: float(dc_b(params, batch, n=6)),
+        a_2, b_2 = interleave(lambda: float(dc_a(params, batch, n=d_hi)),
+                              lambda: float(dc_b(params, batch, n=d_hi)),
                               args.reps)
-        a = max(a_2 - a_1, 0.0) / 4 * 1e3
-        b = max(b_2 - b_1, 0.0) / 4 * 1e3
+        a = max(a_2 - a_1, 0.0) / d_div * 1e3
+        b = max(b_2 - b_1, 0.0) / d_div * 1e3
         print(f"beam batch  {label_a}: {a:.2f} ms  {label_b}: {b:.2f} ms  "
               f"({label_a} speedup {b / max(a, 1e-9):.3f}x; batch {B}, "
               f"unroll {args.unroll})")
@@ -413,14 +456,14 @@ def main():
     if args.what in ("decode", "both"):
         dc_pack = build_decode_chain(True)
         dc_sep = build_decode_chain(False)
-        pa_1, se_1 = interleave(lambda: float(dc_pack(params, batch, n=2)),
-                                lambda: float(dc_sep(params, batch, n=2)),
+        pa_1, se_1 = interleave(lambda: float(dc_pack(params, batch, n=d_lo)),
+                                lambda: float(dc_sep(params, batch, n=d_lo)),
                                 args.reps)
-        pa_2, se_2 = interleave(lambda: float(dc_pack(params, batch, n=6)),
-                                lambda: float(dc_sep(params, batch, n=6)),
+        pa_2, se_2 = interleave(lambda: float(dc_pack(params, batch, n=d_hi)),
+                                lambda: float(dc_sep(params, batch, n=d_hi)),
                                 args.reps)
-        pa = max(pa_2 - pa_1, 0.0) / 4 * 1e3
-        se = max(se_2 - se_1, 0.0) / 4 * 1e3
+        pa = max(pa_2 - pa_1, 0.0) / d_div * 1e3
+        se = max(se_2 - se_1, 0.0) / d_div * 1e3
         la, lb = ("packed", "separate")
         print(f"beam batch  {la}: {pa:.2f} ms  {lb}: {se:.2f} ms  "
               f"(A speedup {se / max(pa, 1e-9):.3f}x; batch {B}, "
