@@ -134,20 +134,25 @@ def test_bf16_compute_close_to_f32(rng):
                                np.asarray(rbf.scores), rtol=0.05, atol=0.05)
 
 
-def test_scan_unroll_identical(rng):
-    """scan_unroll replicates the lax.scan body (the bench/serving perf knob,
-    1.13x at 6 on the v5e) — it must be bit-identical to the plain loop."""
+@pytest.mark.parametrize("unroll", [4, 6])
+def test_scan_unroll_identical(rng, unroll):
+    """scan_unroll replicates the lax.scan body (the bench/serving perf knob;
+    4 is the decider-precision optimum on the v5e, round 4 session 6, and 6
+    the round-3 default) — it must be bit-identical to the plain loop.
+    maxlen=5 is not a multiple of either unroll, exercising lax.scan's
+    remainder handling."""
     cfg = tiny_cfg()
     batch = tiny_batch(rng)
     params = init_model(jax.random.PRNGKey(3), cfg)
     g1 = GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=3)
-    g6 = GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=3, scan_unroll=6)
+    gu = GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=3,
+                        scan_unroll=unroll)
     r1 = beam_search(params, cfg, batch, g1)
-    r6 = beam_search(params, cfg, batch, g6)
-    np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r6.tokens))
-    np.testing.assert_array_equal(np.asarray(r1.scores), np.asarray(r6.scores))
+    ru = beam_search(params, cfg, batch, gu)
+    np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(ru.tokens))
+    np.testing.assert_array_equal(np.asarray(r1.scores), np.asarray(ru.scores))
     np.testing.assert_array_equal(np.asarray(r1.lengths),
-                                  np.asarray(r6.lengths))
+                                  np.asarray(ru.lengths))
 
 
 def test_greedy_decode_runs(rng):
