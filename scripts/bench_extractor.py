@@ -46,6 +46,10 @@ def main():
     p.add_argument("--ab-groupmerge-vs", default="0",
                    help="the B side of --ab-groupmerge (same spec syntax; "
                         "default 0 = native 32-way grouped convs)")
+    p.add_argument("--ab-batch", type=int, default=0,
+                   help="interleaved A/B of --batch vs this batch size in "
+                        "clips/s terms (one window; the sequential --batch "
+                        "comma-sweep is weather-confounded across compiles)")
     args = p.parse_args()
     if args.device == "cpu":
         import jax
@@ -73,6 +77,54 @@ def run_one(args, batch, params, dt_):
     clips = jnp.asarray(
         np.random.default_rng(0).standard_normal(
             (batch, 16, 112, 112, 3)), dt_)
+
+    if args.ab_batch:
+        # interleaved batch-size A/B in clips/s terms: both batch shapes
+        # through one jit wrapper (shape-specialized), ABAB in one window.
+        import statistics
+
+        from bist_tpu.utils.benchtime import unprovable_zero
+
+        clips_b = jnp.asarray(
+            np.random.default_rng(0).standard_normal(
+                (args.ab_batch, 16, 112, 112, 3)), dt_)
+
+        @partial(jax.jit, static_argnames="n")
+        def chain(p_, c_, n):
+            def body(acc, _):
+                c2 = c_ + unprovable_zero(acc).astype(dt_)
+                out = resnext101_apply(p_, c2, mode="spatio_temporal")
+                return acc + jnp.sum(out).astype(jnp.float32), None
+
+            out, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+            return out
+
+        n_it = args.iters
+        for c in (clips, clips_b):
+            for n in (n_it, 2 * n_it):
+                float(chain(params, c, n=n))
+
+        def timed(c, n):
+            t0 = time.perf_counter()
+            float(chain(params, c, n=n))
+            return time.perf_counter() - t0
+
+        t = {k: [] for k in ("a1", "a2", "b1", "b2")}
+        for _ in range(args.reps):
+            t["a1"].append(timed(clips, n_it))
+            t["b1"].append(timed(clips_b, n_it))
+            t["a2"].append(timed(clips, 2 * n_it))
+            t["b2"].append(timed(clips_b, 2 * n_it))
+        med = {k: statistics.median(v) for k, v in t.items()}
+        ms_a = max(med["a2"] - med["a1"], 1e-9) / n_it * 1e3
+        ms_b = max(med["b2"] - med["b1"], 1e-9) / n_it * 1e3
+        cps_a = batch / ms_a * 1e3
+        cps_b = args.ab_batch / ms_b * 1e3
+        print(f"batch {batch}: {cps_a:.1f} clips/sec  "
+              f"batch {args.ab_batch}: {cps_b:.1f} clips/sec  "
+              f"(batch-{batch} speedup {cps_a / cps_b:.3f}x; bf16="
+              f"{args.bf16}, {args.reps} interleaved reps)")
+        return
 
     if args.ab_s2d or str(args.ab_groupmerge) != "0":
         import statistics
