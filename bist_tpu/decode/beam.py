@@ -36,6 +36,7 @@ from bist_tpu.config import GenerateConfig, ModelConfig
 from bist_tpu.data.batching import Batch
 from bist_tpu.models.model import (
     DecodeCache, decode_step, init_cache, precompute_decode_ctx,
+    storage_dtype,
 )
 from bist_tpu.vocab import EOS, PAD, SOS, UNK
 
@@ -78,7 +79,7 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
     # KV cache AND the precomputed cross-attention/pointer context (scores
     # still accumulate f32) — measured 1.68× (cache alone) on the v5e,
     # answers identical on trained models (BENCH.md round 3)
-    cache_dt = jnp.bfloat16 if gcfg.cache_dtype == "bfloat16" else jnp.float32
+    cache_dt = storage_dtype(gcfg.cache_dtype)
     # compute_dtype governs the per-step decoder ACTIVATIONS (and thus the
     # projection GEMMs); scores/softmax/generator stay f32 — see decode_step
     compute_dt = (jnp.bfloat16 if gcfg.compute_dtype == "bfloat16"
@@ -184,7 +185,7 @@ def greedy_decode(params, cfg: ModelConfig, batch: Batch,
     `unroll` = scan-body replication, the same perf knob as
     GenerateConfig.scan_unroll (identical numerics)."""
     B = batch.query.shape[0]
-    dt = jnp.bfloat16 if cache_dtype == "bfloat16" else jnp.float32
+    dt = storage_dtype(cache_dtype)
     ctx = precompute_decode_ctx(params, cfg, batch, dtype=dt)
     cache = init_cache(cfg, B, maxlen + 1, dtype=dt)
     tok0 = jnp.full((B,), SOS, jnp.int32)

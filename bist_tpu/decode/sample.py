@@ -24,7 +24,9 @@ import jax.numpy as jnp
 
 from bist_tpu.config import ModelConfig
 from bist_tpu.data.batching import Batch
-from bist_tpu.models.model import decode_step, init_cache, precompute_decode_ctx
+from bist_tpu.models.model import (
+    decode_step, init_cache, precompute_decode_ctx, storage_dtype,
+)
 from bist_tpu.vocab import PAD, SOS, UNK
 
 NEG = -1.0e30
@@ -69,7 +71,7 @@ def sample_decode(params, cfg: ModelConfig, batch: Batch, maxlen: int,
     can coalesce arbitrary requests and still give each one a reproducible
     per-request stream (tests/test_sample.py batch-invariance)."""
     B = batch.query.shape[0]
-    dt = jnp.bfloat16 if cache_dtype == "bfloat16" else jnp.float32
+    dt = storage_dtype(cache_dtype)
     ctx = precompute_decode_ctx(params, cfg, batch, dtype=dt)
     cache = init_cache(cfg, B, maxlen + 1, dtype=dt)
     tok0 = jnp.full((B,), SOS, jnp.int32)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from bist_tpu.config import ModelConfig
 from bist_tpu.models.layers import (
     Params, attention_weights, linear, linear_init, mha_init, split_heads,
+    upcast_fp8,
 )
 
 EPS_LOG = 0.0  # reference takes a bare torch.log of the mixed distribution
@@ -121,10 +122,12 @@ def apply_generator_step(p: Params, cfg: ModelConfig, lut: jnp.ndarray,
     copy_dists = []
     for idx, src in enumerate(ptr_src):
         Q = split_heads(linear(p["pointer_attn"][idx]["wq"], decoded), 1)
-        attn = attention_weights(Q, src.k, src.mask[..., None, :, :],
+        attn = attention_weights(Q, upcast_fp8(src.k),
+                                 src.mask[..., None, :, :],
                                  0.0, None)[:, 0]            # (B, K, L)
         attn32 = attn.astype(jnp.float32)
-        copy_dists.append(jnp.einsum("bkl,blv->bkv", attn32, src.onehot))
+        copy_dists.append(jnp.einsum("bkl,blv->bkv", attn32,
+                                     upcast_fp8(src.onehot)))
         gen_vec_parts.append(
             jnp.einsum("bkl,bld->bkd", attn.astype(decoded.dtype),
                        src.enc.astype(decoded.dtype)))

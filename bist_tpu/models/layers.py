@@ -33,6 +33,40 @@ Params = Dict[str, Any]
 
 NEG_INF = -1e9
 
+# Decode-memory storage dtypes (GenerateConfig.cache_dtype).  fp8 is
+# STORAGE-only: v5e has no fp8 MXU, so every read site upcasts to bf16 via
+# `upcast_fp8` and XLA fuses the convert into the consumer — the HBM bytes
+# of the dominant per-step decode reads (self-attn KV cache, precomputed
+# cross-attn K/V, pointer keys/encodings/one-hot) halve again vs bf16.
+# e4m3 keeps ~2 significant digits; attention scores/softmax/generator still
+# accumulate f32, but answers are NOT guaranteed identical to f32 — fp8 is
+# opt-in (generate.py/serve.py --cache-dtype), never a default.
+_STORAGE_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float8_e4m3fn": jnp.float8_e4m3fn,
+    "float8_e5m2": jnp.float8_e5m2,
+}
+_FP8_DTYPES = (jnp.dtype(jnp.float8_e4m3fn), jnp.dtype(jnp.float8_e5m2))
+
+
+def storage_dtype(name: str):
+    """Map a GenerateConfig.cache_dtype string to the jnp storage dtype."""
+    try:
+        return _STORAGE_DTYPES[name]
+    except KeyError:
+        raise ValueError(
+            f"cache_dtype {name!r}: expected one of {sorted(_STORAGE_DTYPES)}"
+        ) from None
+
+
+def upcast_fp8(x: jnp.ndarray) -> jnp.ndarray:
+    """Load a decode-memory tensor for compute: fp8 storage → bf16.
+
+    fp8 dtypes don't participate in jnp implicit promotion, so consumers
+    must upcast explicitly; for f32/bf16 storage this is the identity."""
+    return x.astype(jnp.bfloat16) if x.dtype in _FP8_DTYPES else x
+
 
 class RngGen:
     """Deterministic per-site dropout key generator for use during tracing.

@@ -34,9 +34,10 @@ from bist_tpu.models.generator import apply_generator, generator_init
 from bist_tpu.models.layers import (
     Params, RngGen, add_positional, attention_weights, embed, embedding_init,
     layer_norm, layer_norm_init, linear, linear_init, linear_packed,
-    merge_heads, positional_encoding_table, split_heads,
+    merge_heads, positional_encoding_table, split_heads, storage_dtype,
     subsequent_mask,
 )
+from bist_tpu.models.layers import upcast_fp8 as _ld
 from bist_tpu.vocab import PAD
 
 FT = Dict[str, jnp.ndarray]
@@ -358,9 +359,9 @@ def _mha_cached_self(p_attn: Params, h: int, x: jnp.ndarray,
     cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, V1, pos, axis=2)
     Lmax = cache_k.shape[2]
     valid = (jnp.arange(Lmax) <= pos)[None, None, None, :]   # (1,1,1,Lmax)
-    attn = attention_weights(Q, cache_k, valid, 0.0, None)
+    attn = attention_weights(Q, _ld(cache_k), valid, 0.0, None)
     out = linear(p_attn["wo"], merge_heads(
-        jnp.einsum("...qk,...kd->...qd", attn, cache_v)))
+        jnp.einsum("...qk,...kd->...qd", attn, _ld(cache_v))))
     return out, cache_k, cache_v
 
 
@@ -381,7 +382,7 @@ def _mha_cross_cached(p_attn: Params, h: int, x: jnp.ndarray, KV, mask,
     softmax — no head transposes, no (B·h)-batched d_k=16 matmuls."""
     import math as _math
 
-    K, V = KV
+    K, V = _ld(KV[0]), _ld(KV[1])
     B = K.shape[0]
     xf = x.reshape(B, beam, x.shape[-1])
     q = linear(p_attn["wq"], xf)                         # (B, beam, D)

@@ -48,12 +48,16 @@ def build_parser():
     p.add_argument("--top-p", default=0.0, type=float)
     p.add_argument("--sample-seed", default=1, type=int)
     p.add_argument("--cache-dtype", default="float32",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "float8_e4m3fn",
+                            "float8_e5m2"],
                    help="decode KV-cache storage; bfloat16 measured ~2x "
                         "faster beam batches on the v5e (BENCH.md round 3) "
                         "at ~98%% token agreement on a random model (ties "
                         "flip; trained models are more robust) — f32 stays "
-                        "the parity default")
+                        "the parity default.  float8_* store the decode "
+                        "memory at 1 byte/elem (upcast to bf16 at read; "
+                        "~2 significant digits — experimental, answers may "
+                        "shift; BENCH.md round 4)")
     p.add_argument("--scan-unroll", default=1, type=int,
                    help="beam-scan body replication (identical numerics); 8 "
                         "measured 1.25x decode throughput vs 1 on the v5e "

@@ -88,11 +88,13 @@ def main(argv=None):
                    help="base RNG key; per-request 'seed' fields fold into "
                         "it, so answers are reproducible per (base, seed)")
     p.add_argument("--cache-dtype", default="bfloat16",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "float8_e4m3fn",
+                            "float8_e5m2"],
                    help="decode KV-cache storage; bf16 measured 1.68x beam "
                         "throughput (BENCH.md round 3) and is the serving "
                         "default; float32 restores bit-parity with "
-                        "generate.py")
+                        "generate.py; float8_* (1 byte/elem, bf16 compute) "
+                        "is experimental — answers may shift")
     p.add_argument("--maxlen", type=int, default=12)
     p.add_argument("--penalty", type=float, default=1.0)
     p.add_argument("--scan-unroll", type=int, default=4,

@@ -116,6 +116,41 @@ def test_bf16_cache_close_to_f32(rng):
                                np.asarray(rbf.scores), rtol=0.05, atol=0.05)
 
 
+@pytest.mark.parametrize("cd", ["float8_e4m3fn", "float8_e5m2"])
+def test_fp8_cache_decodes_and_tracks_f32(rng, cd):
+    """cache_dtype='float8_*' stores ALL decode memory at 1 byte/elem
+    (upcast to bf16 at read — layers.upcast_fp8).  fp8 keeps only ~2
+    significant digits, so token-level agreement with f32 is NOT guaranteed
+    on a random-init model (ties flip); the contract is: valid hypotheses,
+    finite ranked scores that track f32 closely, and unroll-identity."""
+    cfg = tiny_cfg()
+    batch = tiny_batch(rng)
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    g32 = GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=3)
+    g8 = GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=3,
+                        cache_dtype=cd)
+    r32 = beam_search(params, cfg, batch, g32)
+    r8 = beam_search(params, cfg, batch, g8)
+    toks, scores = np.asarray(r8.tokens), np.asarray(r8.scores)
+    assert np.isfinite(scores).all()
+    assert (toks >= 0).all() and (toks < cfg.vocab_size).all()
+    assert (np.diff(scores, axis=1) <= 1e-6).all()       # nbest stays ranked
+    np.testing.assert_allclose(scores, np.asarray(r32.scores),
+                               rtol=0.25, atol=0.25)
+    g1 = greedy_decode(params, cfg, batch, 6, cache_dtype=cd, unroll=1)
+    g4 = greedy_decode(params, cfg, batch, 6, cache_dtype=cd, unroll=4)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g4))
+
+
+def test_bad_cache_dtype_raises(rng):
+    cfg = tiny_cfg()
+    batch = tiny_batch(rng)
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    gc = GenerateConfig(maxlen=3, beam=2, nbest=1, cache_dtype="float16")
+    with pytest.raises(ValueError, match="cache_dtype"):
+        beam_search(params, cfg, batch, gc)
+
+
 def test_bf16_compute_close_to_f32(rng):
     """compute_dtype='bfloat16' runs the per-step decoder activations in bf16
     (scores/softmax/generator stay f32).  On a tiny model the hypotheses must
