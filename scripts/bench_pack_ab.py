@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--batch-b", type=int, default=96,
                     help="the B side of --what batchsize (decode-throughput "
                          "A/B of two batch sizes in one tunnel window)")
+    ap.add_argument("--cache-a", default="bfloat16",
+                    help="A-side cache_dtype for --what cachedtype")
+    ap.add_argument("--cache-b", default="float32",
+                    help="B-side cache_dtype for --what cachedtype")
     ap.add_argument("--unroll", type=int, default=3,
                     help="beam-scan unroll factor for --what unroll")
     ap.add_argument("--unroll-b", type=int, default=1,
@@ -161,22 +165,28 @@ def main():
         return chain
 
     if args.what == "cachedtype":
-        # decode self-attn KV cache storage dtype A/B (halved cache +
-        # regroup traffic vs f32; scores accumulate f32 either way)
-        dc_bf = build_decode_chain(False, gc=GenerateConfig(
+        # decode-memory storage dtype A/B (KV cache + precomputed ctx +
+        # pointer sources; scores accumulate f32 either way).  --cache-a/-b
+        # pick the two sides: bf16-vs-f32 was the round-3 decider (1.68x);
+        # fp8-vs-bf16 is the round-4 storage-halving candidate.
+        dc_a = build_decode_chain(False, gc=GenerateConfig(
             maxlen=12, beam=5, penalty=1.0, nbest=5,
-            cache_dtype="bfloat16"))
-        dc_f32 = build_decode_chain(False)
-        a_1, b_1 = interleave(lambda: float(dc_bf(params, batch, n=d_lo)),
-                              lambda: float(dc_f32(params, batch, n=d_lo)),
+            cache_dtype=args.cache_a))
+        dc_b = build_decode_chain(False, gc=GenerateConfig(
+            maxlen=12, beam=5, penalty=1.0, nbest=5,
+            cache_dtype=args.cache_b))
+        a_1, b_1 = interleave(lambda: float(dc_a(params, batch, n=d_lo)),
+                              lambda: float(dc_b(params, batch, n=d_lo)),
                               args.reps)
-        a_2, b_2 = interleave(lambda: float(dc_bf(params, batch, n=d_hi)),
-                              lambda: float(dc_f32(params, batch, n=d_hi)),
+        a_2, b_2 = interleave(lambda: float(dc_a(params, batch, n=d_hi)),
+                              lambda: float(dc_b(params, batch, n=d_hi)),
                               args.reps)
-        bf = max(a_2 - a_1, 0.0) / d_div * 1e3
-        f32 = max(b_2 - b_1, 0.0) / d_div * 1e3
-        print(f"beam batch  bf16-cache: {bf:.2f} ms  f32-cache: {f32:.2f} ms"
-              f"  (bf16 speedup {f32 / max(bf, 1e-9):.3f}x; batch {B})")
+        ms_a = max(a_2 - a_1, 0.0) / d_div * 1e3
+        ms_b = max(b_2 - b_1, 0.0) / d_div * 1e3
+        print(f"beam batch  {args.cache_a}-cache: {ms_a:.2f} ms  "
+              f"{args.cache_b}-cache: {ms_b:.2f} ms  "
+              f"({args.cache_a} speedup {ms_b / max(ms_a, 1e-9):.3f}x; "
+              f"batch {B})")
 
     if args.what == "unroll":
         # beam-scan unroll A/B: replicate the decode-step loop body `unroll`x
