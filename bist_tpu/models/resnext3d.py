@@ -185,7 +185,18 @@ def _stem_conv(x, w):
 # of per-granularity targets keyed by the conv's NATIVE channels/group
 # (4/8/16/32 = stages 1-4), so the merge depth can differ per stage.
 def _parse_group_ch(spec: str):
-    parts = [int(p) for p in str(spec).split(",")]
+    text = str(spec).strip()
+    if not text:
+        return 0          # empty env var = merging disabled (native groups)
+    try:
+        # tolerate a 't' prefix per part ("t4,t8,t16,t32" — the shorthand
+        # the docs use for "target keyed by native cg")
+        parts = [int(p.strip().lstrip("tT")) for p in text.split(",")]
+    except ValueError:
+        raise ValueError(
+            "BIST_GROUP_CH wants one int target channels/group (e.g. 16) or "
+            "4 comma-separated per-stage targets keyed by native ch/group "
+            f"4/8/16/32 (e.g. '16,16,16,32'), got {spec!r}") from None
     if len(parts) == 1:
         return parts[0]
     if len(parts) != 4:
@@ -219,6 +230,8 @@ def _grouped_conv2(x, w, stride):
         cg = w.shape[3]
         target = GROUP_CH.get(cg, 0) if isinstance(GROUP_CH, dict) else GROUP_CH
         m = max(1, min(groups, target // max(cg, 1)))
+        while groups % m:     # merge factor must divide the group count —
+            m -= 1            # round non-divisor targets (e.g. 24) down
         if m > 1:
             w = _merge_groups_kernel(w, groups, m)
             groups = CARDINALITY // m

@@ -142,22 +142,23 @@ def main():
         x, c1, c2, gflop = built[name]
         ms = max(statistics.median(t2[name]) - statistics.median(t1[name]),
                  1e-9) / n * 1e3
-        if ms < 0.05:   # (2n-n) difference below tunnel-RTT jitter
-            print(f"  {name:12s} ≤jitter ({ms:.3f} ms/batch) "
-                  f"{gflop:8.1f} GFLOP")
-            continue
+        jitter = ms < 0.05      # (2n-n) difference below tunnel-RTT jitter
         mfu = gflop * 1e9 / (ms / 1e3) / peak
         if name == "WHOLE NET":
-            stage_sum = total_ms
+            stage_sum = total_ms or 0.0
             print(f"  {'sum of stages':12s} {stage_sum:8.2f} ms/batch")
             print(f"  {name:12s} {ms:8.2f} ms/batch  {gflop:8.1f} GFLOP  "
                   f"{mfu * 100:5.1f}% MFU  "
                   f"({B / ms * 1e3:.0f} clips/s; stages cover "
-                  f"{stage_sum / ms * 100:.0f}%)")
+                  f"{stage_sum / ms * 100:.0f}%)"
+                  + ("  [≤jitter — unreliable]" if jitter else ""))
         else:
+            # jitter-level stages still count toward the stage sum (at their
+            # clamped reading) so "stages cover N%" stays an honest total
             total_ms = ms if total_ms is None else total_ms + ms
             print(f"  {name:12s} {ms:8.2f} ms/batch  {gflop:8.1f} GFLOP  "
-                  f"{mfu * 100:5.1f}% MFU")
+                  f"{mfu * 100:5.1f}% MFU"
+                  + ("  [≤jitter — unreliable]" if jitter else ""))
 
 
 if __name__ == "__main__":

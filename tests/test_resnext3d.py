@@ -265,3 +265,35 @@ def test_group_ch_per_stage_spec():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_array_equal(np.asarray(got_nomerge), np.asarray(ref))
+
+
+def test_group_ch_robust_specs():
+    """Round-4 review hardening: the docs' 't4,t8,t16,t32' shorthand parses,
+    an empty env var disables merging, junk raises a ValueError naming the
+    knob, and NON-DIVISOR targets (e.g. 24 -> m=6 at cg=4) round the merge
+    factor down to a divisor of the cardinality instead of crashing at
+    trace time inside a reshape."""
+    from bist_tpu.models import resnext3d as rx
+
+    assert rx._parse_group_ch("") == 0
+    assert rx._parse_group_ch("t4,t8,t16,t32") == {4: 4, 8: 8, 16: 16, 32: 32}
+    with pytest.raises(ValueError, match="BIST_GROUP_CH"):
+        rx._parse_group_ch("bogus")
+
+    rng = np.random.default_rng(3)
+    planes = 128                      # native cg=4 at cardinality 32
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, 3, planes // rx.CARDINALITY, planes))
+        .astype(np.float32))
+    x = jnp.asarray(
+        rng.standard_normal((2, 4, 8, 8, planes)).astype(np.float32))
+    ref = rx._conv3d(x, w, groups=rx.CARDINALITY)
+    old = rx.GROUP_CH
+    try:
+        for target in (24, 48, 7, 100):   # m candidates 6, 12, 1, 25
+            rx.GROUP_CH = target
+            got = rx._grouped_conv2(x, w, stride=(1, 1, 1))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-4, rtol=2e-4)
+    finally:
+        rx.GROUP_CH = old
