@@ -110,13 +110,17 @@ def _conv3d(x, w, stride=(1, 1, 1), padding=None, groups=1):
 
     XLA's 'SAME' pads asymmetrically for stride>1 (e.g. k=3 s=2 on even
     extents pads (0,1) where torch pads (1,1)) — checkpoint parity requires
-    the torch convention on every strided conv (stem + stage downsamples)."""
+    the torch convention on every strided conv (stem + stage downsamples).
+
+    int8 kernels (the quantized path below) accumulate in int32 — the
+    s8xs8->s32 form the v5e MXU runs at 2x bf16 peak."""
     if padding is None:
         padding = [(int(k) // 2, int(k) // 2) for k in w.shape[:3]]
+    pet = jnp.int32 if w.dtype == jnp.int8 else None
     return jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        feature_group_count=groups)
+        feature_group_count=groups, preferred_element_type=pet)
 
 
 def _bn(p, x):
@@ -246,6 +250,8 @@ def _maxpool3d(x, window=(3, 3, 3), stride=(2, 2, 2)):
 
 
 def _block(p: Params, x, stride):
+    if p["conv1"].dtype == jnp.int8:
+        return _qblock(p, x, stride)
     out = jax.nn.relu(_bn(p["bn1"], _conv3d(x, p["conv1"])))
     out = jax.nn.relu(_bn(p["bn2"], _grouped_conv2(out, p["conv2"],
                                                    stride=(stride,) * 3)))
@@ -254,6 +260,161 @@ def _block(p: Params, x, stride):
         x = _bn(p["down_bn"], _conv3d(x, p["down_conv"],
                                       stride=(stride,) * 3))
     return jax.nn.relu(out + x)
+
+
+# ---------------------------------------------------------------------------
+# Int8 inference path (opt-in: extract_features.py --int8, or
+# quantize_resnext_int8 directly).  v5e runs s8xs8->s32 on the MXU at 2x the
+# bf16 peak; extractor stage 3 is already at ~61% bf16 MFU (BENCH.md round
+# 4), so the CEILING is the remaining lever there.  Scheme: per-output-
+# channel symmetric int8 weights (scale folded into the BN multiplier at
+# quantize time) + dynamic per-tensor symmetric int8 activations (one
+# abs-max scalar per conv input; the quant chain fuses into the conv's
+# producer, only the int8 operand materializes).  The stem stays float:
+# C_in=3 is contraction-lane-bound, not ceiling-bound, and carries most of
+# the quantization sensitivity (raw-pixel dynamic range).
+
+
+def _quant_act(x):
+    """bf16/f32 activations → (int8 tensor, f32 per-tensor scale), DYNAMIC:
+    the abs-max reduce + quantize cost two extra HBM passes per conv — use
+    static calibrated scales (collect_act_scales) for the fast path."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                  -127, 127).astype(jnp.int8)
+    return xq, s
+
+
+def _quant_act_static(x, s):
+    """Static-scale quantize: one fused elementwise pass, no reduce."""
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                  -127, 127).astype(jnp.int8)
+    return xq, s
+
+
+def _bnq(p, y_int32, s_x):
+    """int32 conv accumulators → bf16, applying s_x·(bn_scale·s_w) + bias
+    (the weight scale s_w was folded into p['scale'] at quantize time)."""
+    y = y_int32.astype(jnp.float32) * (p["scale"] * s_x) + p["bias"]
+    return y.astype(jnp.bfloat16)
+
+
+def _qblock(p: Params, x, stride):
+    acts = p.get("act_s")
+    if acts is None:
+        qa = lambda v, k: _quant_act(v)  # noqa: E731
+    else:
+        qa = lambda v, k: _quant_act_static(v, acts[k])  # noqa: E731
+    xq, sx = qa(x, "in")
+    out = jax.nn.relu(_bnq(p["bn1"], _conv3d(xq, p["conv1"]), sx))
+    oq, so = qa(out, "mid1")
+    out = jax.nn.relu(_bnq(p["bn2"], _grouped_conv2(oq, p["conv2"],
+                                                    stride=(stride,) * 3), so))
+    oq, so = qa(out, "mid2")
+    out = _bnq(p["bn3"], _conv3d(oq, p["conv3"]), so)
+    if "down_conv" in p:
+        x = _bnq(p["down_bn"], _conv3d(xq, p["down_conv"],
+                                       stride=(stride,) * 3), sx)
+    return jax.nn.relu(out + x.astype(out.dtype))
+
+
+def collect_act_scales(params: Params, clips: jnp.ndarray):
+    """Calibration forward for STATIC int8 activation scales: run the float
+    net and record the abs-max of every to-be-quantized conv input (block
+    input + the two post-relu intermediates).  Returns a pytree shaped
+    [[{'in','mid1','mid2'}, ...] per stage]; elementwise-max it across
+    calibration batches and pass to quantize_resnext_int8(act_scales=...).
+    Mirrors resnext101_apply/_block exactly (same strides/merging)."""
+    def absmax(v):
+        return jnp.max(jnp.abs(v.astype(jnp.float32)))
+
+    x = clips.astype(params["stem"]["conv"].dtype)
+    x = jax.nn.relu(_bn(params["stem"]["bn"],
+                        _stem_conv(x, params["stem"]["conv"])))
+    x = _maxpool3d(x)
+    scales = []
+    for s, stage in enumerate(params["stages"]):
+        per_block = []
+        for b, blk in enumerate(stage):
+            stride = STAGE_STRIDES[s] if b == 0 else 1
+            rec = {"in": absmax(x)}
+            out = jax.nn.relu(_bn(blk["bn1"], _conv3d(x, blk["conv1"])))
+            rec["mid1"] = absmax(out)
+            out = jax.nn.relu(_bn(blk["bn2"],
+                                  _grouped_conv2(out, blk["conv2"],
+                                                 stride=(stride,) * 3)))
+            rec["mid2"] = absmax(out)
+            out = _bn(blk["bn3"], _conv3d(out, blk["conv3"]))
+            if "down_conv" in blk:
+                x = _bn(blk["down_bn"], _conv3d(x, blk["down_conv"],
+                                                stride=(stride,) * 3))
+            x = jax.nn.relu(out + x)
+            per_block.append(rec)
+        scales.append(per_block)
+    return scales
+
+
+def quantize_resnext_int8(params: Params, act_scales=None,
+                          stages=None) -> Params:
+    """Fold per-output-channel int8 weight quantization into the (already
+    BN-folded) scale/bias of every bottleneck conv.  Stem and fc stay float.
+    Exactness: the added group-merge taps (BIST_GROUP_CH) stay exact zeros
+    under quantization, so merging commutes with this transform.
+
+    act_scales: optional calibration pytree from collect_act_scales — when
+    given, blocks carry STATIC activation scales ('act_s') and the apply
+    path skips the dynamic abs-max reduce (quantize fuses into the previous
+    epilogue); when None, activations quantize dynamically per tensor.
+
+    stages: optional iterable of 0-based stage indices to quantize (e.g.
+    (2, 3) = stages 3-4 only, where compute density is highest and the
+    per-conv requant passes are cheapest); None = all four stages.
+    Unquantized blocks keep their float params and run the float path —
+    _block dispatches per block on the kernel dtype."""
+    def q(w, bn):
+        w = np.asarray(w, np.float32)
+        s = np.abs(w).max(axis=(0, 1, 2, 3)) / 127.0
+        s = np.where(s == 0, 1.0, s)
+        wq = np.clip(np.rint(w / s), -127, 127).astype(np.int8)
+        bn2 = {"scale": jnp.asarray(np.asarray(bn["scale"], np.float32) * s),
+               "bias": jnp.asarray(np.asarray(bn["bias"], np.float32))}
+        return jnp.asarray(wq), bn2
+
+    # the float remainder (stem conv/bn, fc) runs bf16: C_in=3 is lane-bound
+    # so bf16 is already its best MXU rate, and bf16 halves its HBM traffic
+    out: Params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16),
+        {k: v for k, v in params.items() if k != "stages"})
+    keep = (set(range(len(params["stages"]))) if stages is None
+            else set(stages))
+    out["stages"] = []
+    for si, stage in enumerate(params["stages"]):
+        if si not in keep:
+            # unquantized stages run the float path in bf16 (consistent
+            # with the bf16 stem — activations flow bf16 between blocks)
+            out["stages"].append(jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.bfloat16), stage))
+            continue
+        blocks = []
+        for bi, blk in enumerate(stage):
+            b2: Params = {}
+            for cv, bnm in (("conv1", "bn1"), ("conv2", "bn2"),
+                            ("conv3", "bn3")):
+                b2[cv], b2[bnm] = q(blk[cv], blk[bnm])
+            if "down_conv" in blk:
+                b2["down_conv"], b2["down_bn"] = q(blk["down_conv"],
+                                                   blk["down_bn"])
+            if act_scales is not None:
+                rec = act_scales[si][bi]
+                b2["act_s"] = {
+                    k: jnp.asarray(
+                        max(float(np.asarray(rec[k])), 1e-12) / 127.0,
+                        jnp.float32)
+                    for k in ("in", "mid1", "mid2")}
+            blocks.append(b2)
+        out["stages"].append(blocks)
+    return out
 
 
 def resnext101_apply(params: Params, clips: jnp.ndarray,
@@ -267,7 +428,7 @@ def resnext101_apply(params: Params, clips: jnp.ndarray,
       'features'        → (N, D) same as temporal_only (mode='feature' of
          the reference extractor with last_fc dropped).
     """
-    x = clips
+    x = clips.astype(params["stem"]["conv"].dtype)
     x = jax.nn.relu(_bn(params["stem"]["bn"],
                         _stem_conv(x, params["stem"]["conv"])))
     x = _maxpool3d(x)

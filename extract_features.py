@@ -201,6 +201,17 @@ def main(argv=None):
     p.add_argument("--bf16", type=int, default=0,
                    help="run the conv stack in bfloat16 (f32 accumulation; "
                         "~1e-2 relative feature deviation, 2x MXU rate)")
+    p.add_argument("--int8", type=int, default=0,
+                   help="quantize bottleneck convs to int8 (per-channel "
+                        "weights; stem stays bf16) — the v5e MXU's "
+                        "2x-over-bf16 path.  resnext family only; runs "
+                        "single-device (--dp ignored)")
+    p.add_argument("--int8-calib", default="first",
+                   choices=["first", "dynamic"],
+                   help="int8 activation scales: 'first' self-calibrates "
+                        "static per-tensor scales on the first batch "
+                        "(reduce-free fast path); 'dynamic' recomputes "
+                        "abs-max per conv input every batch")
     args = p.parse_args(argv)
 
     import jax
@@ -253,7 +264,38 @@ def main(argv=None):
         mode = "spatio_temporal" if args.spatio_temporal else "temporal_only"
         if args.temporal_only:
             mode = "temporal_only"
-    if args.bf16:
+    if args.int8:
+        if args.model_name != "resnext":
+            sys.exit("--int8 supports the resnext family only")
+        import jax.numpy as jnp
+
+        from bist_tpu.models.resnext3d import (collect_act_scales,
+                                               quantize_resnext_int8)
+
+        # stem goes bf16, bottlenecks int8 (folded bn stays f32 — it is the
+        # quantization-scale carrier), input staged bf16 like --bf16
+        inner_q = jax.jit(lambda p, c: backbone(
+            p, c.astype(jnp.bfloat16), mode).astype(jnp.float32))
+        if args.int8_calib == "dynamic":
+            params = quantize_resnext_int8(params)
+            apply_fn = inner_q
+        else:
+            # static scales self-calibrated on the first batch: one float
+            # forward records per-conv-input abs-max, then every batch runs
+            # the reduce-free static path (quantize fuses into the producer)
+            collect = jax.jit(
+                lambda p, c: collect_act_scales(p, c.astype(jnp.bfloat16)))
+            state = {"fp": params, "qp": None}
+
+            def apply_fn(p, c, _s=state):
+                if _s["qp"] is None:
+                    scales = jax.device_get(collect(_s["fp"], c))
+                    _s["qp"] = quantize_resnext_int8(_s["fp"],
+                                                     act_scales=scales)
+                    _s["fp"] = None
+                    print("int8: calibrated static scales on first batch")
+                return inner_q(_s["qp"], c)
+    elif args.bf16:
         import jax.numpy as jnp
 
         params = jax.tree_util.tree_map(
@@ -272,6 +314,10 @@ def main(argv=None):
     n_avail = len(jax.devices())
     dp_n = args.dp if args.dp > 0 else max(
         n for n in range(1, n_avail + 1) if args.batch_size % n == 0)
+    if args.int8:
+        # the int8 path manages its own (possibly lazily-quantized) params;
+        # keep it off the replicated-params mesh wrapper
+        dp_n = 1
     if dp_n > 1:
         from bist_tpu.parallel.mesh import DataParallel
 

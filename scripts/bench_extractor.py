@@ -46,6 +46,14 @@ def main():
     p.add_argument("--ab-groupmerge-vs", default="0",
                    help="the B side of --ab-groupmerge (same spec syntax; "
                         "default 0 = native 32-way grouped convs)")
+    p.add_argument("--ab-int8", type=int, default=0,
+                   help="interleaved A/B of the int8 bottleneck path "
+                        "(static first-batch-calibrated scales, stem bf16) "
+                        "vs the float path in ONE window; run with --bf16 1 "
+                        "so the B side is the shipped bf16 extractor")
+    p.add_argument("--ab-int8-stages", default="",
+                   help="comma list of 1-based stages to quantize in the "
+                        "--ab-int8 A side (e.g. '3,4'); empty = all")
     p.add_argument("--ab-batch", type=int, default=0,
                    help="interleaved A/B of --batch vs this batch size in "
                         "clips/s terms (one window; the sequential --batch "
@@ -77,6 +85,58 @@ def run_one(args, batch, params, dt_):
     clips = jnp.asarray(
         np.random.default_rng(0).standard_normal(
             (batch, 16, 112, 112, 3)), dt_)
+
+    if args.ab_int8:
+        # int8 (static calibrated scales) vs float, one jit wrapper
+        # specialized per params pytree, ABAB in one tunnel window
+        import statistics
+
+        import bist_tpu.models.resnext3d as rx
+        from bist_tpu.utils.benchtime import unprovable_zero
+
+        q_stages = ([int(s) - 1 for s in args.ab_int8_stages.split(",")]
+                    if args.ab_int8_stages else None)
+        scales = jax.device_get(
+            jax.jit(rx.collect_act_scales)(params, clips))
+        qparams = rx.quantize_resnext_int8(params, act_scales=scales,
+                                           stages=q_stages)
+
+        @partial(jax.jit, static_argnames="n")
+        def chain(p_, c_, n):
+            def body(acc, _):
+                c2 = c_ + unprovable_zero(acc).astype(c_.dtype)
+                out = resnext101_apply(p_, c2, mode="spatio_temporal")
+                return acc + jnp.sum(out).astype(jnp.float32), None
+
+            return jax.lax.scan(body, jnp.zeros(()), None, length=n)[0]
+
+        n_it = args.iters
+        for p_ in (qparams, params):
+            for n in (n_it, 2 * n_it):
+                float(chain(p_, clips, n=n))
+
+        def timed(p_, n):
+            t0 = time.perf_counter()
+            float(chain(p_, clips, n=n))
+            return time.perf_counter() - t0
+
+        t = {k: [] for k in ("a1", "a2", "b1", "b2")}
+        for _ in range(args.reps):
+            t["a1"].append(timed(qparams, n_it))
+            t["b1"].append(timed(params, n_it))
+            t["a2"].append(timed(qparams, 2 * n_it))
+            t["b2"].append(timed(params, 2 * n_it))
+        med = {k: statistics.median(v) for k, v in t.items()}
+        ms_a = max(med["a2"] - med["a1"], 1e-9) / n_it * 1e3
+        ms_b = max(med["b2"] - med["b1"], 1e-9) / n_it * 1e3
+        tag = (f"int8 static (stages {args.ab_int8_stages})"
+               if args.ab_int8_stages else "int8 static")
+        print(f"{tag}: {batch / ms_a * 1e3:.1f} clips/sec  "
+              f"{'bf16' if args.bf16 else 'f32'}: "
+              f"{batch / ms_b * 1e3:.1f} clips/sec  "
+              f"(int8 speedup {ms_b / ms_a:.3f}x; batch {batch}, "
+              f"{args.reps} interleaved reps)")
+        return
 
     if args.ab_batch:
         # interleaved batch-size A/B in clips/s terms: both batch shapes

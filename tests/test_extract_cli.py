@@ -82,3 +82,23 @@ def test_dp_extraction_matches_single_device(tmp_path, rng):
         x1 = np.load(os.path.join(out1, vid + ".npy"))
         x4 = np.load(os.path.join(out4, vid + ".npy"))
         np.testing.assert_array_equal(x1, x4)
+
+
+@pytest.mark.slow
+def test_int8_extraction_close_to_f32(tmp_path, rng):
+    """--int8 (first-batch-calibrated static scales): same shapes, features
+    within a small relative distance of the f32 run (opt-in speed knob for
+    the v5e's 2x int8 MXU, not a parity mode)."""
+    vroot = tmp_path / "videos"
+    _make_videos(str(vroot), rng, {"a": 8})
+    base = ["--video_root", str(vroot), "--stride", "8", "--batch_size", "2",
+            "--model_name", "resnext", "--model_depth", "50"]
+    out_f = tmp_path / "f32"
+    out_q = tmp_path / "int8"
+    extract_features.main(base + ["--output", str(out_f)])
+    extract_features.main(base + ["--output", str(out_q), "--int8", "1"])
+    f = np.load(out_f / "a.npy")
+    q = np.load(out_q / "a.npy")
+    assert f.shape == q.shape
+    rel = np.linalg.norm(q - f) / max(np.linalg.norm(f), 1e-9)
+    assert rel < 0.08, f"int8 features relative error {rel:.4f}"

@@ -297,3 +297,160 @@ def test_group_ch_robust_specs():
                                        atol=2e-4, rtol=2e-4)
     finally:
         rx.GROUP_CH = old
+
+
+def test_int8_quantized_backbone_close_to_f32():
+    """Opt-in int8 path (quantize_resnext_int8 / extract_features --int8):
+    per-output-channel int8 weights folded into the BN multiplier + dynamic
+    per-tensor int8 activations, stem kept float.  Properties checked on a
+    tiny 1-stage net: (a) dtypes land where designed (int8 kernels, f32
+    folded bn, bf16 stem); (b) features stay close to the f32 oracle
+    (dynamic-quant error, not a parity claim — the flag is opt-in); (c)
+    group merging commutes EXACTLY with quantization: the merged int8 conv
+    accumulates the same int32 values (added taps are exact zero products),
+    so merged-vs-native outputs are bit-identical."""
+    from bist_tpu.models import resnext3d as rx
+
+    rng = np.random.default_rng(7)
+
+    def t(*shape, scale=0.2):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32)
+                           * scale)
+
+    planes = 64                       # native cg=2 at cardinality 32
+    blk = {
+        "conv1": t(1, 1, 1, 8, planes),
+        "bn1": {"scale": jnp.ones((planes,)) * 1.1,
+                "bias": t(planes, scale=0.05)},
+        "conv2": t(3, 3, 3, planes // rx.CARDINALITY, planes),
+        "bn2": {"scale": jnp.ones((planes,)) * 0.9,
+                "bias": t(planes, scale=0.05)},
+        "conv3": t(1, 1, 1, planes, 8),
+        "bn3": {"scale": jnp.ones((8,)), "bias": t(8, scale=0.05)},
+    }
+    params = {
+        "stem": {"conv": t(3, 3, 3, 3, 8), "bn": rx._bn_identity(8)},
+        "stages": [[blk]],
+    }
+    x = jnp.asarray(rng.standard_normal((2, 4, 16, 16, 3)).astype(np.float32))
+
+    old = rx.GROUP_CH
+    try:
+        rx.GROUP_CH = 0
+        ref = np.asarray(rx.resnext101_apply(params, x), np.float32)
+        qp = rx.quantize_resnext_int8(params)
+        assert qp["stages"][0][0]["conv2"].dtype == jnp.int8
+        assert qp["stages"][0][0]["bn2"]["scale"].dtype == jnp.float32
+        assert qp["stem"]["conv"].dtype == jnp.bfloat16
+        got = np.asarray(rx.resnext101_apply(qp, x), np.float32)
+        rel = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9)
+        assert rel < 0.06, f"int8 relative feature error {rel:.4f}"
+
+        # merge-commutes-with-quant: int32 accumulation is exact, so the
+        # block-diagonal form must reproduce the native-group result BIT-
+        # identically (stronger than the float merge test's tolerance)
+        rx.GROUP_CH = 16              # merge factor 8 at cg=2
+        merged = np.asarray(rx.resnext101_apply(qp, x), np.float32)
+    finally:
+        rx.GROUP_CH = old
+    np.testing.assert_array_equal(merged, got)
+
+
+def test_int8_static_scales_match_dynamic():
+    """Static calibrated activation scales (collect_act_scales →
+    quantize_resnext_int8(act_scales=...)): on the calibration batch the
+    static path tracks the dynamic one closely (their scales differ only by
+    the quantization error feeding forward — calibration reads the FLOAT
+    intermediates, dynamic reads the quantized net's own), and the static
+    path stays close to f32 on a fresh batch (clipping only activations
+    beyond the calibration range)."""
+    from bist_tpu.models import resnext3d as rx
+
+    rng = np.random.default_rng(11)
+
+    def t(*shape, scale=0.2):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32)
+                           * scale)
+
+    planes = 64
+    blk = {
+        "conv1": t(1, 1, 1, 8, planes),
+        "bn1": {"scale": jnp.ones((planes,)), "bias": t(planes, scale=0.05)},
+        "conv2": t(3, 3, 3, planes // rx.CARDINALITY, planes),
+        "bn2": {"scale": jnp.ones((planes,)), "bias": t(planes, scale=0.05)},
+        "conv3": t(1, 1, 1, planes, 8),
+        "bn3": {"scale": jnp.ones((8,)), "bias": t(8, scale=0.05)},
+    }
+    params = {
+        "stem": {"conv": t(3, 3, 3, 3, 8), "bn": rx._bn_identity(8)},
+        "stages": [[blk]],
+    }
+    x = jnp.asarray(rng.standard_normal((2, 4, 16, 16, 3)).astype(np.float32))
+
+    old = rx.GROUP_CH
+    try:
+        rx.GROUP_CH = 0
+        ref = np.asarray(rx.resnext101_apply(params, x), np.float32)
+        scales = rx.collect_act_scales(params, x)
+        assert float(scales[0][0]["in"]) > 0
+        q_dyn = rx.quantize_resnext_int8(params)
+        q_st = rx.quantize_resnext_int8(params, act_scales=scales)
+        got_dyn = np.asarray(rx.resnext101_apply(q_dyn, x), np.float32)
+        got_st = np.asarray(rx.resnext101_apply(q_st, x), np.float32)
+        rel_sd = (np.linalg.norm(got_st - got_dyn)
+                  / max(np.linalg.norm(got_dyn), 1e-9))
+        assert rel_sd < 0.03, f"static-vs-dynamic relative gap {rel_sd:.4f}"
+
+        x2 = jnp.asarray(
+            rng.standard_normal((2, 4, 16, 16, 3)).astype(np.float32))
+        ref2 = np.asarray(rx.resnext101_apply(params, x2), np.float32)
+        got2 = np.asarray(rx.resnext101_apply(q_st, x2), np.float32)
+        rel = np.linalg.norm(got2 - ref2) / max(np.linalg.norm(ref2), 1e-9)
+        assert rel < 0.08, f"static-int8 fresh-batch relative error {rel:.4f}"
+    finally:
+        rx.GROUP_CH = old
+
+
+def test_int8_partial_stage_quantization():
+    """quantize_resnext_int8(stages=...) quantizes only the named stages;
+    the rest run the float path in bf16 (mixed net end-to-end sane)."""
+    from bist_tpu.models import resnext3d as rx
+
+    rng = np.random.default_rng(13)
+
+    def t(*shape, scale=0.2):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32)
+                           * scale)
+
+    def mkblk(cin, planes, cout):
+        return {
+            "conv1": t(1, 1, 1, cin, planes),
+            "bn1": {"scale": jnp.ones((planes,)),
+                    "bias": t(planes, scale=0.05)},
+            "conv2": t(3, 3, 3, planes // rx.CARDINALITY, planes),
+            "bn2": {"scale": jnp.ones((planes,)),
+                    "bias": t(planes, scale=0.05)},
+            "conv3": t(1, 1, 1, planes, cout),
+            "bn3": {"scale": jnp.ones((cout,)), "bias": t(cout, scale=0.05)},
+            "down_conv": t(1, 1, 1, cin, cout),
+            "down_bn": {"scale": jnp.ones((cout,)),
+                        "bias": jnp.zeros((cout,))},
+        }
+
+    params = {
+        "stem": {"conv": t(3, 3, 3, 3, 8), "bn": rx._bn_identity(8)},
+        "stages": [[mkblk(8, 32, 16)], [mkblk(16, 64, 32)]],
+    }
+    x = jnp.asarray(rng.standard_normal((1, 4, 16, 16, 3)).astype(np.float32))
+    old = rx.GROUP_CH
+    try:
+        rx.GROUP_CH = 0
+        ref = np.asarray(rx.resnext101_apply(params, x), np.float32)
+        qp = rx.quantize_resnext_int8(params, stages=(1,))
+        assert qp["stages"][0][0]["conv1"].dtype == jnp.bfloat16
+        assert qp["stages"][1][0]["conv1"].dtype == jnp.int8
+        got = np.asarray(rx.resnext101_apply(qp, x), np.float32)
+    finally:
+        rx.GROUP_CH = old
+    rel = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9)
+    assert rel < 0.06, f"partial-int8 relative error {rel:.4f}"
