@@ -210,6 +210,13 @@ class GenerateConfig:
                                         # 0.68x — decode is op-latency-bound,
                                         # the casts add ops; BENCH.md round 3)
                                         # — default-off knob for other hw
+    early_exit: bool = False            # beam search: stop the decode loop
+                                        # once no future completion can beat
+                                        # the kept n-best (exact bound —
+                                        # results bit-identical to the full
+                                        # maxlen scan; lax.while_loop instead
+                                        # of lax.scan).  Steps saved are
+                                        # data-dependent; see BENCH.md
     temperature: float = 1.0            # sampling decode_style knobs
     top_k: int = 0                      # (serving extension; the reference
     top_p: float = 0.0                  # has no sampling at all)

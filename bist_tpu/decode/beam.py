@@ -59,7 +59,8 @@ class BeamResult(NamedTuple):
 
 
 def beam_search(params, cfg: ModelConfig, batch: Batch,
-                gcfg: GenerateConfig, unroll: int | None = None) -> BeamResult:
+                gcfg: GenerateConfig, unroll: int | None = None,
+                _return_exit_step: bool = False) -> BeamResult:
     """Run beam search for every row of `batch` simultaneously.
 
     `params` may be a single params pytree or a LIST of pytrees (same cfg):
@@ -98,7 +99,7 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
     V = cfg.vocab_size
     pos_range = jnp.arange(maxlen)
 
-    def step(carry, l):
+    def step_fn(carry, l):
         tokens, scores, caches, comp_tokens, comp_scores, comp_lens = carry
         cur = jax.lax.dynamic_index_in_dim(tokens, l, axis=2, keepdims=False)
         logp = 0.0
@@ -157,7 +158,7 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
         caches = tuple(DecodeCache(k=regroup(c.k), v=regroup(c.v))
                        for c in caches)
         return (tokens, new_scores, caches, comp_tokens, comp_scores,
-                comp_lens), None
+                comp_lens)
 
     carry0 = (tokens0, scores0, tuple(caches), comp_tokens0, comp_scores0,
               comp_lens0)
@@ -166,8 +167,61 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
     # scripts/bench_pack_ab.py --what unroll).  Defaults to the config knob.
     if unroll is None:
         unroll = gcfg.scan_unroll
-    (tokens, scores, _, comp_tokens, comp_scores, comp_lens), _ = \
-        jax.lax.scan(step, carry0, jnp.arange(maxlen), unroll=unroll)
+
+    if gcfg.early_exit:
+        # Exact early termination.  Every expansion adds a log-softmax term
+        # (≤ 0), so max-over-beams of `scores` is non-increasing across
+        # steps, and a completion candidate emitted at any FUTURE step
+        # l' ∈ [l, maxlen) scores at most
+        #     max_k scores[b,k] + penalty·(l'+1)
+        # (cand_score = lp[eos] + penalty·(l'+1), decode.py:73-77, with
+        # lp ≤ scores).  Once that upper bound cannot exceed the worst kept
+        # n-best score in ANY row, the remaining steps provably cannot
+        # change the result, so the search may stop.  Ties are safe with
+        # `<=`: lax.top_k is stable (lowest index wins) and the kept
+        # completions precede new candidates in the concatenation, so an
+        # equal-scoring future candidate never displaces one.
+        def converged(carry, l):
+            _, scores, _, _, comp_scores, _ = carry
+            # penalty·(l'+1) over l' ∈ [l, maxlen) is maximised at
+            # l' = maxlen-1 for penalty ≥ 0, at l' = l otherwise
+            bonus = jnp.maximum(gcfg.penalty * maxlen,
+                                gcfg.penalty * (l + 1).astype(jnp.float32))
+            best_possible = jnp.max(scores, axis=1) + bonus
+            return jnp.all(best_possible <= jnp.min(comp_scores, axis=1))
+
+        # strided main loop (`unroll` replicated step bodies per iteration,
+        # the same program-size/perf trade as scan unroll), then a stride-1
+        # tail for maxlen % unroll and for finer-grained exits
+        def cond_u(state):
+            l, carry = state
+            return (l + unroll <= maxlen) & ~converged(carry, l)
+
+        def body_u(state):
+            l, carry = state
+            for i in range(unroll):
+                carry = step_fn(carry, l + i)
+            return (l + unroll, carry)
+
+        def cond_1(state):
+            l, carry = state
+            return (l < maxlen) & ~converged(carry, l)
+
+        def body_1(state):
+            l, carry = state
+            return (l + 1, step_fn(carry, l))
+
+        state = jax.lax.while_loop(cond_u, body_u, (jnp.int32(0), carry0))
+        l_exit, (tokens, scores, _, comp_tokens, comp_scores, comp_lens) = \
+            jax.lax.while_loop(cond_1, body_1, state)
+        if _return_exit_step:
+            # diagnostic: number of decode steps actually run (≤ maxlen)
+            return BeamResult(tokens=comp_tokens, scores=comp_scores,
+                              lengths=comp_lens), l_exit
+    else:
+        (tokens, scores, _, comp_tokens, comp_scores, comp_lens), _ = \
+            jax.lax.scan(lambda c, l: (step_fn(c, l), None), carry0,
+                         jnp.arange(maxlen), unroll=unroll)
     return BeamResult(tokens=comp_tokens, scores=comp_scores, lengths=comp_lens)
 
 

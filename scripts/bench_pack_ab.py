@@ -33,7 +33,7 @@ def main():
                     choices=["train", "decode", "prng", "adam", "presplit",
                              "cachedtype", "unroll", "computedtype",
                              "batchsize", "bdcross", "regroupmm",
-                             "decodeops", "both"])
+                             "decodeops", "earlyexit", "both"])
     ap.add_argument("--batch-b", type=int, default=96,
                     help="the B side of --what batchsize (decode-throughput "
                          "A/B of two batch sizes in one tunnel window)")
@@ -236,6 +236,34 @@ def main():
               f"{resp_a:.0f} resp/s  B={args.batch_b}: {b_ms:.2f} ms/call = "
               f"{resp_b:.0f} resp/s  "
               f"(B={args.batch} speedup {resp_a / max(resp_b, 1e-9):.3f}x)")
+
+    if args.what == "earlyexit":
+        # Exact early termination of the beam while-loop (GenerateConfig.
+        # early_exit) vs the fixed-maxlen scan, both on the shipped
+        # bf16-cache default.  The saved steps are DATA-DEPENDENT (this
+        # harness decodes a random-init model — document the regime next to
+        # the number).  The chain sums r.scores, so identical A/B return
+        # values double-check the bit-exactness claim on-chip.
+        gc_s = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
+                              cache_dtype="bfloat16")
+        gc_e = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
+                              cache_dtype="bfloat16", early_exit=True)
+        dc_e = build_decode_chain(False, gc=gc_e, unroll=args.unroll)
+        dc_s = build_decode_chain(False, gc=gc_s, unroll=args.unroll)
+        va, vb = float(dc_e(params, batch, n=d_lo)), \
+            float(dc_s(params, batch, n=d_lo))
+        a_1, b_1 = interleave(lambda: float(dc_e(params, batch, n=d_lo)),
+                              lambda: float(dc_s(params, batch, n=d_lo)),
+                              args.reps)
+        a_2, b_2 = interleave(lambda: float(dc_e(params, batch, n=d_hi)),
+                              lambda: float(dc_s(params, batch, n=d_hi)),
+                              args.reps)
+        ee = max(a_2 - a_1, 0.0) / d_div * 1e3
+        sc = max(b_2 - b_1, 0.0) / d_div * 1e3
+        match = "identical" if va == vb else f"MISMATCH {va} vs {vb}"
+        print(f"beam batch  early-exit: {ee:.2f} ms  full-scan: {sc:.2f} ms  "
+              f"(early-exit speedup {sc / max(ee, 1e-9):.3f}x; batch {B}, "
+              f"unroll {args.unroll}; score sums {match})")
 
     if args.what == "computedtype":
         # decode-step activation dtype A/B on top of the shipped bf16-cache +

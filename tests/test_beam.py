@@ -190,6 +190,61 @@ def test_scan_unroll_identical(rng, unroll):
                                   np.asarray(ru.lengths))
 
 
+@pytest.mark.parametrize("penalty,dec_eos,unroll,cache", [
+    (1.0, False, 1, "float32"),
+    (1.0, True, 3, "float32"),     # maxlen 12 % 3 == 0, strided loop only
+    (2.0, False, 4, "bfloat16"),   # 12 % 4 == 0; serving dtype
+    (0.0, False, 5, "float32"),    # 12 % 5 != 0: stride-1 tail runs
+    (-0.5, False, 1, "float32"),   # negative penalty: the OTHER bonus branch
+])
+def test_early_exit_identical(rng, penalty, dec_eos, unroll, cache):
+    """gcfg.early_exit replaces the fixed-maxlen lax.scan with a
+    lax.while_loop that stops once no future completion candidate can beat
+    the kept n-best (exact bound: log-softmax terms are ≤ 0, so
+    max-beam-score is non-increasing and a future candidate scores at most
+    max_score + penalty·(l'+1)).  The result must be BIT-IDENTICAL to the
+    full scan for every penalty sign, unroll stride and cache dtype.
+    maxlen=12 on a tiny random model leaves plenty of post-convergence steps
+    to (not) run."""
+    cfg = tiny_cfg()
+    batch = tiny_batch(rng, B=3)
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    g = GenerateConfig(maxlen=12, beam=3, penalty=penalty, nbest=3,
+                       dec_eos=dec_eos, scan_unroll=unroll,
+                       cache_dtype=cache)
+    ge = GenerateConfig(maxlen=12, beam=3, penalty=penalty, nbest=3,
+                        dec_eos=dec_eos, scan_unroll=unroll,
+                        cache_dtype=cache, early_exit=True)
+    r = beam_search(params, cfg, batch, g)
+    re = beam_search(params, cfg, batch, ge)
+    np.testing.assert_array_equal(np.asarray(r.tokens), np.asarray(re.tokens))
+    np.testing.assert_array_equal(np.asarray(r.scores), np.asarray(re.scores))
+    np.testing.assert_array_equal(np.asarray(r.lengths),
+                                  np.asarray(re.lengths))
+
+
+def test_early_exit_min_len_and_ensemble(rng):
+    """Early exit with a min_len gate (candidates banned below it — the
+    bound must still hold) and with a 2-model ensemble (summed log-probs
+    are still ≤ 0 per step)."""
+    cfg = tiny_cfg()
+    batch = tiny_batch(rng)
+    p1 = init_model(jax.random.PRNGKey(3), cfg)
+    p2 = init_model(jax.random.PRNGKey(4), cfg)
+    g = GenerateConfig(maxlen=10, beam=3, penalty=1.0, nbest=4, min_len=3)
+    ge = GenerateConfig(maxlen=10, beam=3, penalty=1.0, nbest=4, min_len=3,
+                        early_exit=True)
+    for ps in (p1, [p1, p2]):
+        r = beam_search(ps, cfg, batch, g)
+        re = beam_search(ps, cfg, batch, ge)
+        np.testing.assert_array_equal(np.asarray(r.tokens),
+                                      np.asarray(re.tokens))
+        np.testing.assert_array_equal(np.asarray(r.scores),
+                                      np.asarray(re.scores))
+        np.testing.assert_array_equal(np.asarray(r.lengths),
+                                      np.asarray(re.lengths))
+
+
 def test_greedy_decode_runs(rng):
     cfg = tiny_cfg()
     batch = tiny_batch(rng)
