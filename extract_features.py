@@ -212,6 +212,13 @@ def main(argv=None):
                         "static per-tensor scales on the first batch "
                         "(reduce-free fast path); 'dynamic' recomputes "
                         "abs-max per conv input every batch")
+    p.add_argument("--int8-stages", default="3,4",
+                   help="comma list of 1-based stages to quantize, or "
+                        "'all'.  Default '3,4' is the measured v5e winner "
+                        "(1.048x at decider precision, BENCH.md): compute "
+                        "density is highest and requant passes cheapest "
+                        "there; quantizing stages 1-2 too measured 0.974x "
+                        "(the requant HBM passes outweigh the MXU win)")
     args = p.parse_args(argv)
 
     import jax
@@ -272,12 +279,24 @@ def main(argv=None):
         from bist_tpu.models.resnext3d import (collect_act_scales,
                                                quantize_resnext_int8)
 
+        if args.int8_stages.strip().lower() == "all":
+            q_stages = None
+        else:
+            try:
+                q_stages = tuple(sorted(
+                    int(s) - 1 for s in args.int8_stages.split(",")))
+            except ValueError:
+                sys.exit(f"--int8-stages wants a comma list of 1-based "
+                         f"stage numbers or 'all', got {args.int8_stages!r}")
+            if any(s < 0 or s > 3 for s in q_stages):
+                sys.exit("--int8-stages values must be in 1..4")
+
         # stem goes bf16, bottlenecks int8 (folded bn stays f32 — it is the
         # quantization-scale carrier), input staged bf16 like --bf16
         inner_q = jax.jit(lambda p, c: backbone(
             p, c.astype(jnp.bfloat16), mode).astype(jnp.float32))
         if args.int8_calib == "dynamic":
-            params = quantize_resnext_int8(params)
+            params = quantize_resnext_int8(params, stages=q_stages)
             apply_fn = inner_q
         else:
             # static scales self-calibrated on the first batch: one float
@@ -291,7 +310,8 @@ def main(argv=None):
                 if _s["qp"] is None:
                     scales = jax.device_get(collect(_s["fp"], c))
                     _s["qp"] = quantize_resnext_int8(_s["fp"],
-                                                     act_scales=scales)
+                                                     act_scales=scales,
+                                                     stages=q_stages)
                     _s["fp"] = None
                     print("int8: calibrated static scales on first batch")
                 return inner_q(_s["qp"], c)
