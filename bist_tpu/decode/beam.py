@@ -168,11 +168,19 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
     if unroll is None:
         unroll = gcfg.scan_unroll
 
+    if _return_exit_step and not gcfg.early_exit:
+        raise ValueError("_return_exit_step requires gcfg.early_exit=True "
+                         "(the fixed-maxlen scan always runs maxlen steps)")
     if gcfg.early_exit:
-        # Exact early termination.  Every expansion adds a log-softmax term
-        # (≤ 0), so max-over-beams of `scores` is non-increasing across
-        # steps, and a completion candidate emitted at any FUTURE step
-        # l' ∈ [l, maxlen) scores at most
+        if unroll < 1:
+            # the scan path rejects unroll<1 inside lax.scan; the while
+            # bodies below would spin forever (l never advances) — fail fast
+            raise ValueError(f"early_exit needs scan_unroll >= 1, "
+                             f"got {unroll}")
+        # Exact early termination.  Every expansion adds a log-probability
+        # term (≤ 0 up to float rounding), so max-over-beams of `scores` is
+        # non-increasing across steps, and a completion candidate emitted at
+        # any FUTURE step l' ∈ [l, maxlen) scores at most
         #     max_k scores[b,k] + penalty·(l'+1)
         # (cand_score = lp[eos] + penalty·(l'+1), decode.py:73-77, with
         # lp ≤ scores).  Once that upper bound cannot exceed the worst kept
@@ -181,6 +189,17 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
         # `<=`: lax.top_k is stable (lowest index wins) and the kept
         # completions precede new candidates in the concatenation, so an
         # equal-scoring future candidate never displaces one.
+        #
+        # SLACK guards the "≤ 0" premise against float rounding: the
+        # pointer-generator's log is taken of a convex MIXTURE whose f32
+        # entries can round a few ulp above 1.0, so a per-step log-prob can
+        # be +O(1e-6); penalty·maxlen here is also double-rounded slightly
+        # differently from the per-step f32 product.  Requiring the bound to
+        # clear by maxlen·1e-5 absorbs the worst accumulated drift — the
+        # exit can only become LATER (never wrong), preserving the
+        # bit-identical-to-full-scan contract.
+        slack = jnp.float32(1e-5 * maxlen + 1e-6)
+
         def converged(carry, l):
             _, scores, _, _, comp_scores, _ = carry
             # penalty·(l'+1) over l' ∈ [l, maxlen) is maximised at
@@ -188,7 +207,8 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
             bonus = jnp.maximum(gcfg.penalty * maxlen,
                                 gcfg.penalty * (l + 1).astype(jnp.float32))
             best_possible = jnp.max(scores, axis=1) + bonus
-            return jnp.all(best_possible <= jnp.min(comp_scores, axis=1))
+            return jnp.all(best_possible + slack
+                           <= jnp.min(comp_scores, axis=1))
 
         # strided main loop (`unroll` replicated step bodies per iteration,
         # the same program-size/perf trade as scan unroll), then a stride-1

@@ -249,12 +249,20 @@ def _maxpool3d(x, window=(3, 3, 3), stride=(2, 2, 2)):
         (1,) + stride + (1,), pads)
 
 
-def _block(p: Params, x, stride):
+def _block(p: Params, x, stride, record=None):
+    """record: optional `(tap_name, tensor) -> None` hook fired at the three
+    to-be-quantized conv inputs ('in', 'mid1', 'mid2') of the FLOAT path —
+    int8 calibration (collect_act_scales) instruments this very forward, so
+    the calibration tensors can never diverge from the net being quantized."""
     if p["conv1"].dtype == jnp.int8:
         return _qblock(p, x, stride)
+    rec = record if record is not None else (lambda k, v: None)
+    rec("in", x)
     out = jax.nn.relu(_bn(p["bn1"], _conv3d(x, p["conv1"])))
+    rec("mid1", out)
     out = jax.nn.relu(_bn(p["bn2"], _grouped_conv2(out, p["conv2"],
                                                    stride=(stride,) * 3)))
+    rec("mid2", out)
     out = _bn(p["bn3"], _conv3d(out, p["conv3"]))
     if "down_conv" in p:
         x = _bn(p["down_bn"], _conv3d(x, p["down_conv"],
@@ -325,33 +333,19 @@ def collect_act_scales(params: Params, clips: jnp.ndarray):
     input + the two post-relu intermediates).  Returns a pytree shaped
     [[{'in','mid1','mid2'}, ...] per stage]; elementwise-max it across
     calibration batches and pass to quantize_resnext_int8(act_scales=...).
-    Mirrors resnext101_apply/_block exactly (same strides/merging)."""
-    def absmax(v):
-        return jnp.max(jnp.abs(v.astype(jnp.float32)))
 
-    x = clips.astype(params["stem"]["conv"].dtype)
-    x = jax.nn.relu(_bn(params["stem"]["bn"],
-                        _stem_conv(x, params["stem"]["conv"])))
-    x = _maxpool3d(x)
-    scales = []
-    for s, stage in enumerate(params["stages"]):
-        per_block = []
-        for b, blk in enumerate(stage):
-            stride = STAGE_STRIDES[s] if b == 0 else 1
-            rec = {"in": absmax(x)}
-            out = jax.nn.relu(_bn(blk["bn1"], _conv3d(x, blk["conv1"])))
-            rec["mid1"] = absmax(out)
-            out = jax.nn.relu(_bn(blk["bn2"],
-                                  _grouped_conv2(out, blk["conv2"],
-                                                 stride=(stride,) * 3)))
-            rec["mid2"] = absmax(out)
-            out = _bn(blk["bn3"], _conv3d(out, blk["conv3"]))
-            if "down_conv" in blk:
-                x = _bn(blk["down_bn"], _conv3d(x, blk["down_conv"],
-                                                stride=(stride,) * 3))
-            x = jax.nn.relu(out + x)
-            per_block.append(rec)
-        scales.append(per_block)
+    Implemented as `record` hooks on resnext101_apply/_block — the
+    calibration tensors come from the SAME forward that runs at inference
+    (strides, merging, stem transform), so the two can never silently
+    diverge."""
+    scales = [[{} for _ in stage] for stage in params["stages"]]
+
+    def factory(s, b):
+        def rec(k, v):
+            scales[s][b][k] = jnp.max(jnp.abs(v.astype(jnp.float32)))
+        return rec
+
+    resnext101_apply(params, clips, mode="temporal_only", record=factory)
     return scales
 
 
@@ -418,7 +412,8 @@ def quantize_resnext_int8(params: Params, act_scales=None,
 
 
 def resnext101_apply(params: Params, clips: jnp.ndarray,
-                     mode: str = "spatio_temporal") -> jnp.ndarray:
+                     mode: str = "spatio_temporal",
+                     record=None) -> jnp.ndarray:
     """clips: (N, T, H, W, 3) normalised frames (0-255 minus KINETICS_MEAN).
 
     mode:
@@ -427,6 +422,9 @@ def resnext101_apply(params: Params, clips: jnp.ndarray,
       'temporal_only'   → (N, D) post-avgpool embeddings (resnext.py:139-142);
       'features'        → (N, D) same as temporal_only (mode='feature' of
          the reference extractor with last_fc dropped).
+
+    record: optional `(stage_idx, block_idx) -> ((tap, tensor) -> None)`
+    factory; int8 calibration hooks (see _block / collect_act_scales).
     """
     x = clips.astype(params["stem"]["conv"].dtype)
     x = jax.nn.relu(_bn(params["stem"]["bn"],
@@ -434,7 +432,8 @@ def resnext101_apply(params: Params, clips: jnp.ndarray,
     x = _maxpool3d(x)
     for s, stage in enumerate(params["stages"]):
         for b, blk in enumerate(stage):
-            x = _block(blk, x, STAGE_STRIDES[s] if b == 0 else 1)
+            x = _block(blk, x, STAGE_STRIDES[s] if b == 0 else 1,
+                       record=record(s, b) if record is not None else None)
     # x: (N, t', h', w', 2048)
     if mode == "spatio_temporal":
         # average any residual temporal extent (t'=1 for 16-frame clips),

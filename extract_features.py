@@ -315,6 +315,11 @@ def main(argv=None):
                     _s["fp"] = None
                     print("int8: calibrated static scales on first batch")
                 return inner_q(_s["qp"], c)
+
+            # drop main()'s reference so the float net is actually freed
+            # after calibration (apply_fn manages its params via `state`;
+            # the `p` argument is ignored on this path)
+            params = None
     elif args.bf16:
         import jax.numpy as jnp
 
