@@ -223,6 +223,22 @@ def test_early_exit_identical(rng, penalty, dec_eos, unroll, cache):
                                   np.asarray(re.lengths))
 
 
+def test_early_exit_guards(rng):
+    """Fail-fast guards: unroll < 1 would compile an infinite while_loop
+    (l never advances) and _return_exit_step is meaningless on the
+    fixed-maxlen scan — both must raise, not hang/silently change arity."""
+    cfg = tiny_cfg()
+    batch = tiny_batch(rng)
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    ge = GenerateConfig(maxlen=6, beam=2, nbest=2, early_exit=True,
+                        scan_unroll=0)
+    with pytest.raises(ValueError, match="scan_unroll"):
+        beam_search(params, cfg, batch, ge)
+    g = GenerateConfig(maxlen=6, beam=2, nbest=2)
+    with pytest.raises(ValueError, match="early_exit"):
+        beam_search(params, cfg, batch, g, _return_exit_step=True)
+
+
 def test_early_exit_min_len_and_ensemble(rng):
     """Early exit with a min_len gate (candidates banned below it — the
     bound must still hold) and with a 2-model ensemble (summed log-probs
