@@ -175,6 +175,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent XLA compilation cache (BIST_XLA_CACHE=0 disables).  Verified
+    # under the axon backend: a fresh process recompiling the beam program
+    # hits the on-disk executable (8.96 s cold -> 1.61 s warm, B=8 probe), so
+    # a prewarmed cache cuts this child's remote-compile warmup to seconds —
+    # less time on the tunnel = less exposure to the wedge failure mode the
+    # launcher exists to ride out.
+    from bist_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from bist_tpu.config import GenerateConfig
     from bist_tpu.data.avsd import load_avsd
     from bist_tpu.data.batching import Batch, pad_to

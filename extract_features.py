@@ -223,6 +223,10 @@ def main(argv=None):
 
     import jax
 
+    from bist_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from bist_tpu.models.resnext3d import (
         extract_video_features, init_resnext101, load_torch_resnext,
         resnext101_apply)

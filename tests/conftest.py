@@ -18,6 +18,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The suite is XLA-compile-bound (CLAUDE.md: serial beats xdist because
+# workers fight over cores during compiles).  The persistent compilation
+# cache reuses executables across runs — cache keys hash the optimized HLO,
+# so source changes recompile automatically and cached numerics are the
+# same bits as fresh ones.  BIST_XLA_CACHE=0 disables.
+from bist_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 
