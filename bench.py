@@ -51,8 +51,6 @@ import subprocess
 import sys
 import time
 
-import numpy as np
-
 REFERENCE_GPU_RESP_PER_SEC = 2.0
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
@@ -121,6 +119,9 @@ def launcher():
         print(line, flush=True)
 
     signal.signal(signal.SIGTERM, on_term)
+    # readiness marker for harnesses that SIGTERM the launcher (the JSON-on-
+    # kill guarantee only holds once the handler above is installed)
+    print("[bench] launcher ready", file=sys.stderr, flush=True)
     for attempt in range(1, attempts + 1):
         # wait until the backend passes a health check (wedges self-heal in
         # minutes; backend-init failures are transient)
@@ -174,6 +175,7 @@ DV = 2048
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     # Persistent XLA compilation cache (BIST_XLA_CACHE=0 disables).  Verified
     # under the axon backend: a fresh process recompiling the beam program

@@ -72,6 +72,21 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
     params_list = params if isinstance(params, (list, tuple)) else [params]
     M = len(params_list)
 
+    # unroll: lax.scan loop-body replication (identical numerics; measured
+    # 1.13x at 6 on the v5e for ~6x program size — BENCH.md round 3,
+    # scripts/bench_pack_ab.py --what unroll).  Defaults to the config knob.
+    if unroll is None:
+        unroll = gcfg.scan_unroll
+    # config guards live BEFORE ctx/cache construction so a bad config fails
+    # before the (expensive, possibly remote) encoder runs
+    if _return_exit_step and not gcfg.early_exit:
+        raise ValueError("_return_exit_step requires gcfg.early_exit=True "
+                         "(the fixed-maxlen scan always runs maxlen steps)")
+    if gcfg.early_exit and unroll < 1:
+        # the scan path rejects unroll<1 inside lax.scan; the early-exit
+        # while bodies would spin forever (l never advances) — fail fast
+        raise ValueError(f"early_exit needs scan_unroll >= 1, got {unroll}")
+
     # Contexts stay at B rows: decode_step folds the K hypotheses of each
     # batch element into the cross-attention query axis, so the per-layer
     # K/V, masks and pointer sources are read from HBM once per batch
@@ -162,21 +177,7 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
 
     carry0 = (tokens0, scores0, tuple(caches), comp_tokens0, comp_scores0,
               comp_lens0)
-    # unroll: lax.scan loop-body replication (identical numerics; measured
-    # 1.13x at 6 on the v5e for ~6x program size — BENCH.md round 3,
-    # scripts/bench_pack_ab.py --what unroll).  Defaults to the config knob.
-    if unroll is None:
-        unroll = gcfg.scan_unroll
-
-    if _return_exit_step and not gcfg.early_exit:
-        raise ValueError("_return_exit_step requires gcfg.early_exit=True "
-                         "(the fixed-maxlen scan always runs maxlen steps)")
     if gcfg.early_exit:
-        if unroll < 1:
-            # the scan path rejects unroll<1 inside lax.scan; the while
-            # bodies below would spin forever (l never advances) — fail fast
-            raise ValueError(f"early_exit needs scan_unroll >= 1, "
-                             f"got {unroll}")
         # Exact early termination.  Every expansion adds a log-probability
         # term (≤ 0 up to float rounding), so max-over-beams of `scores` is
         # non-increasing across steps, and a completion candidate emitted at

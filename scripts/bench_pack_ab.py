@@ -164,6 +164,43 @@ def main():
             float(chain(params, batch, n=n))
         return chain
 
+    def decode_ab(dc_a, dc_b, label_a, label_b, batch_a=None, batch_b=None,
+                  check_match=False, resp=None, extra=""):
+        """The shared decode-chain A/B skeleton: time both chains at d_lo
+        and d_hi interleaved ABAB in one tunnel window, difference the two
+        chain lengths (the only tunnel-robust signal — BENCH.md
+        methodology), print per-call ms + A-over-B speedup.  `resp=(Ba,Bb)`
+        prints throughput (resp/s) instead; `check_match` compares the two
+        d_lo chain sums first (bit-exactness double-check for sides that
+        claim identical semantics)."""
+        ba = batch if batch_a is None else batch_a
+        bb = batch if batch_b is None else batch_b
+        note = ""
+        if check_match:
+            va = float(dc_a(params, ba, n=d_lo))
+            vb = float(dc_b(params, bb, n=d_lo))
+            note = ("; score sums identical" if va == vb
+                    else f"; score sums MISMATCH {va} vs {vb}")
+        a_1, b_1 = interleave(lambda: float(dc_a(params, ba, n=d_lo)),
+                              lambda: float(dc_b(params, bb, n=d_lo)),
+                              args.reps)
+        a_2, b_2 = interleave(lambda: float(dc_a(params, ba, n=d_hi)),
+                              lambda: float(dc_b(params, bb, n=d_hi)),
+                              args.reps)
+        ms_a = max(a_2 - a_1, 1e-9) / d_div * 1e3
+        ms_b = max(b_2 - b_1, 1e-9) / d_div * 1e3
+        if resp:
+            ra, rb = resp[0] / ms_a * 1e3, resp[1] / ms_b * 1e3
+            print(f"beam decode  {label_a}: {ms_a:.2f} ms/call = "
+                  f"{ra:.0f} resp/s  {label_b}: {ms_b:.2f} ms/call = "
+                  f"{rb:.0f} resp/s  ({label_a} speedup "
+                  f"{ra / max(rb, 1e-9):.3f}x{extra}{note})")
+        else:
+            print(f"beam batch  {label_a}: {ms_a:.2f} ms  "
+                  f"{label_b}: {ms_b:.2f} ms  ({label_a} speedup "
+                  f"{ms_b / max(ms_a, 1e-9):.3f}x{extra}{note})")
+        return ms_a, ms_b
+
     if args.what == "cachedtype":
         # decode-memory storage dtype A/B (KV cache + precomputed ctx +
         # pointer sources; scores accumulate f32 either way).  --cache-a/-b
@@ -175,18 +212,8 @@ def main():
         dc_b = build_decode_chain(False, gc=GenerateConfig(
             maxlen=12, beam=5, penalty=1.0, nbest=5,
             cache_dtype=args.cache_b))
-        a_1, b_1 = interleave(lambda: float(dc_a(params, batch, n=d_lo)),
-                              lambda: float(dc_b(params, batch, n=d_lo)),
-                              args.reps)
-        a_2, b_2 = interleave(lambda: float(dc_a(params, batch, n=d_hi)),
-                              lambda: float(dc_b(params, batch, n=d_hi)),
-                              args.reps)
-        ms_a = max(a_2 - a_1, 0.0) / d_div * 1e3
-        ms_b = max(b_2 - b_1, 0.0) / d_div * 1e3
-        print(f"beam batch  {args.cache_a}-cache: {ms_a:.2f} ms  "
-              f"{args.cache_b}-cache: {ms_b:.2f} ms  "
-              f"({args.cache_a} speedup {ms_b / max(ms_a, 1e-9):.3f}x; "
-              f"batch {B})")
+        decode_ab(dc_a, dc_b, f"{args.cache_a}-cache", f"{args.cache_b}-cache",
+                  extra=f"; batch {B}")
 
     if args.what == "unroll":
         # beam-scan unroll A/B: replicate the decode-step loop body `unroll`x
@@ -197,17 +224,8 @@ def main():
                                cache_dtype="bfloat16")
         dc_un = build_decode_chain(False, gc=gc_bf, unroll=args.unroll)
         dc_1 = build_decode_chain(False, gc=gc_bf, unroll=args.unroll_b)
-        a_1, b_1 = interleave(lambda: float(dc_un(params, batch, n=d_lo)),
-                              lambda: float(dc_1(params, batch, n=d_lo)),
-                              args.reps)
-        a_2, b_2 = interleave(lambda: float(dc_un(params, batch, n=d_hi)),
-                              lambda: float(dc_1(params, batch, n=d_hi)),
-                              args.reps)
-        un = max(a_2 - a_1, 0.0) / d_div * 1e3
-        base = max(b_2 - b_1, 0.0) / d_div * 1e3
-        print(f"beam batch  unroll={args.unroll}: {un:.2f} ms  "
-              f"unroll={args.unroll_b}: {base:.2f} ms  "
-              f"(unroll speedup {base / max(un, 1e-9):.3f}x; batch {B})")
+        decode_ab(dc_un, dc_1, f"unroll={args.unroll}",
+                  f"unroll={args.unroll_b}", extra=f"; batch {B}")
 
     if args.what == "batchsize":
         # decode batch-size A/B in THROUGHPUT terms (resp/s) under the
@@ -222,20 +240,8 @@ def main():
         dc = build_decode_chain(False, gc=gc_bf, unroll=args.unroll)
         for n in (d_lo, d_hi):                  # warm the B-side shapes
             float(dc(params, batch_b, n=n))
-        a_1, b_1 = interleave(lambda: float(dc(params, batch, n=d_lo)),
-                              lambda: float(dc(params, batch_b, n=d_lo)),
-                              args.reps)
-        a_2, b_2 = interleave(lambda: float(dc(params, batch, n=d_hi)),
-                              lambda: float(dc(params, batch_b, n=d_hi)),
-                              args.reps)
-        a_ms = max(a_2 - a_1, 1e-9) / d_div * 1e3
-        b_ms = max(b_2 - b_1, 1e-9) / d_div * 1e3
-        resp_a = args.batch / a_ms * 1e3
-        resp_b = args.batch_b / b_ms * 1e3
-        print(f"beam decode  B={args.batch}: {a_ms:.2f} ms/call = "
-              f"{resp_a:.0f} resp/s  B={args.batch_b}: {b_ms:.2f} ms/call = "
-              f"{resp_b:.0f} resp/s  "
-              f"(B={args.batch} speedup {resp_a / max(resp_b, 1e-9):.3f}x)")
+        decode_ab(dc, dc, f"B={args.batch}", f"B={args.batch_b}",
+                  batch_b=batch_b, resp=(args.batch, args.batch_b))
 
     if args.what == "earlyexit":
         # Exact early termination of the beam while-loop (GenerateConfig.
@@ -250,20 +256,8 @@ def main():
                               cache_dtype="bfloat16", early_exit=True)
         dc_e = build_decode_chain(False, gc=gc_e, unroll=args.unroll)
         dc_s = build_decode_chain(False, gc=gc_s, unroll=args.unroll)
-        va, vb = float(dc_e(params, batch, n=d_lo)), \
-            float(dc_s(params, batch, n=d_lo))
-        a_1, b_1 = interleave(lambda: float(dc_e(params, batch, n=d_lo)),
-                              lambda: float(dc_s(params, batch, n=d_lo)),
-                              args.reps)
-        a_2, b_2 = interleave(lambda: float(dc_e(params, batch, n=d_hi)),
-                              lambda: float(dc_s(params, batch, n=d_hi)),
-                              args.reps)
-        ee = max(a_2 - a_1, 0.0) / d_div * 1e3
-        sc = max(b_2 - b_1, 0.0) / d_div * 1e3
-        match = "identical" if va == vb else f"MISMATCH {va} vs {vb}"
-        print(f"beam batch  early-exit: {ee:.2f} ms  full-scan: {sc:.2f} ms  "
-              f"(early-exit speedup {sc / max(ee, 1e-9):.3f}x; batch {B}, "
-              f"unroll {args.unroll}; score sums {match})")
+        decode_ab(dc_e, dc_s, "early-exit", "full-scan", check_match=True,
+                  extra=f"; batch {B}, unroll {args.unroll}")
 
     if args.what == "computedtype":
         # decode-step activation dtype A/B on top of the shipped bf16-cache +
@@ -275,23 +269,13 @@ def main():
                               compute_dtype="bfloat16")
         dc_b = build_decode_chain(False, gc=gc_b, unroll=args.unroll)
         dc_f = build_decode_chain(False, gc=gc_f, unroll=args.unroll)
-        a_1, b_1 = interleave(lambda: float(dc_b(params, batch, n=d_lo)),
-                              lambda: float(dc_f(params, batch, n=d_lo)),
-                              args.reps)
-        a_2, b_2 = interleave(lambda: float(dc_b(params, batch, n=d_hi)),
-                              lambda: float(dc_f(params, batch, n=d_hi)),
-                              args.reps)
-        bf = max(a_2 - a_1, 0.0) / d_div * 1e3
-        f32 = max(b_2 - b_1, 0.0) / d_div * 1e3
-        print(f"beam batch  bf16-compute: {bf:.2f} ms  f32-compute: "
-              f"{f32:.2f} ms  (bf16-compute speedup {f32 / max(bf, 1e-9):.3f}x"
-              f"; batch {B}, unroll {args.unroll})")
+        decode_ab(dc_b, dc_f, "bf16-compute", "f32-compute",
+                  extra=f"; batch {B}, unroll {args.unroll}")
 
     def flag_chain_ab(set_flag, label_a, label_b):
         """A/B a trace-time module flag over the shipped bf16-cache decode
-        chain: build both programs, interleave d_lo/d_hi chain differences,
-        print per-step ms + speedup of A over B (methodology as the other
-        chain A/Bs — data-dependent iterations, warm pairs)."""
+        chain: build both programs (flag read at trace time), then run the
+        shared decode_ab skeleton."""
         gc_bf = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
                                cache_dtype="bfloat16")
 
@@ -300,17 +284,8 @@ def main():
             return build_decode_chain(False, gc=gc_bf, unroll=args.unroll)
 
         dc_a, dc_b = build(True), build(False)
-        a_1, b_1 = interleave(lambda: float(dc_a(params, batch, n=d_lo)),
-                              lambda: float(dc_b(params, batch, n=d_lo)),
-                              args.reps)
-        a_2, b_2 = interleave(lambda: float(dc_a(params, batch, n=d_hi)),
-                              lambda: float(dc_b(params, batch, n=d_hi)),
-                              args.reps)
-        a = max(a_2 - a_1, 0.0) / d_div * 1e3
-        b = max(b_2 - b_1, 0.0) / d_div * 1e3
-        print(f"beam batch  {label_a}: {a:.2f} ms  {label_b}: {b:.2f} ms  "
-              f"({label_a} speedup {b / max(a, 1e-9):.3f}x; batch {B}, "
-              f"unroll {args.unroll})")
+        decode_ab(dc_a, dc_b, label_a, label_b,
+                  extra=f"; batch {B}, unroll {args.unroll}")
 
     if args.what == "bdcross":
         # Block-diagonal short-source cross-attention (models/model.py
@@ -494,18 +469,8 @@ def main():
     if args.what in ("decode", "both"):
         dc_pack = build_decode_chain(True)
         dc_sep = build_decode_chain(False)
-        pa_1, se_1 = interleave(lambda: float(dc_pack(params, batch, n=d_lo)),
-                                lambda: float(dc_sep(params, batch, n=d_lo)),
-                                args.reps)
-        pa_2, se_2 = interleave(lambda: float(dc_pack(params, batch, n=d_hi)),
-                                lambda: float(dc_sep(params, batch, n=d_hi)),
-                                args.reps)
-        pa = max(pa_2 - pa_1, 0.0) / d_div * 1e3
-        se = max(se_2 - se_1, 0.0) / d_div * 1e3
-        la, lb = ("packed", "separate")
-        print(f"beam batch  {la}: {pa:.2f} ms  {lb}: {se:.2f} ms  "
-              f"(A speedup {se / max(pa, 1e-9):.3f}x; batch {B}, "
-              f"{B / max(pa, 1e-9) * 1e3:.0f} vs {B / max(se, 1e-9) * 1e3:.0f} resp/s)")
+        decode_ab(dc_pack, dc_sep, "packed", "separate", resp=(B, B),
+                  extra=f"; batch {B}")
 
 
 if __name__ == "__main__":

@@ -43,18 +43,30 @@ def test_launcher_failure_prints_error_json():
 
 def test_launcher_sigterm_still_prints_json():
     """If the capture harness times the launcher out (SIGTERM), the error
-    JSON must still land on stdout (round 3 failed with a raw traceback)."""
+    JSON must still land on stdout (round 3 failed with a raw traceback).
+    Waits for the launcher's stderr readiness marker before killing — a
+    fixed sleep raced python startup under load (suite-wide flake)."""
     import signal
     import time
 
     env = dict(os.environ)
     env.update(BENCH_ATTEMPTS="1", BENCH_DEADLINE="600")
     p = subprocess.Popen([sys.executable, BENCH], cwd=REPO,
-                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                          text=True)
-    time.sleep(5)              # inside the health check / backoff
+    deadline = time.time() + 120
+    ready = False
+    while time.time() < deadline:
+        ln = p.stderr.readline()       # launcher always prints the marker
+        if "launcher ready" in ln:
+            ready = True
+            break
+        if ln == "" and p.poll() is not None:
+            break
+    assert ready, "launcher never printed its readiness marker"
+    time.sleep(1)                      # inside the health check / backoff
     p.send_signal(signal.SIGTERM)
-    out, _ = p.communicate(timeout=60)
+    out, _ = p.communicate(timeout=60)   # drains both pipes
     assert p.returncode == 0
     lines = [l for l in out.splitlines() if l.strip()]
     parsed = json.loads(lines[-1])

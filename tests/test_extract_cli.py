@@ -90,7 +90,8 @@ def test_int8_extraction_close_to_f32(tmp_path, rng):
     within a small relative distance of the f32 run (opt-in speed knob for
     the v5e's 2x int8 MXU, not a parity mode).  The default --int8-stages
     '3,4' is the measured-winner config (BENCH.md); 'all' (the measured
-    loser, kept for study) must also run and deviate more or equal."""
+    loser, kept for study) must also run, stay in band, and actually
+    quantize the extra stages (its output differs from the '3,4' run)."""
     vroot = tmp_path / "videos"
     _make_videos(str(vroot), rng, {"a": 8})
     base = ["--video_root", str(vroot), "--stride", "8", "--batch_size", "2",
@@ -110,3 +111,7 @@ def test_int8_extraction_close_to_f32(tmp_path, rng):
     rel_all = np.linalg.norm(qa - f) / max(np.linalg.norm(f), 1e-9)
     assert rel < 0.08, f"int8 features relative error {rel:.4f}"
     assert rel_all < 0.08, f"int8-all relative error {rel_all:.4f}"
+    # 'all' must not silently degrade to the '3,4' subset: quantizing the
+    # extra stages has to move the features (error monotonicity is NOT
+    # asserted — rounding errors can cancel — only that the paths differ)
+    assert np.linalg.norm(qa - q) > 0, "--int8-stages all matched '3,4'"
