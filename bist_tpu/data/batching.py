@@ -84,14 +84,34 @@ def pad_to(seqs: Sequence[np.ndarray], length: int, pad_value: int = PAD,
     return out
 
 
-def pad_features(fts: Sequence[np.ndarray], t_len: int) -> np.ndarray:
-    """Stack (Ti, ...) feature arrays into (B, t_len, ...), zero-padded on T."""
-    tail = fts[0].shape[1:]
-    out = np.zeros((len(fts), t_len) + tuple(tail), dtype=np.float32)
+def pad_features(fts: Sequence[np.ndarray], t_len: int, tail=None,
+                 pad_rows: int = 0) -> np.ndarray:
+    """Stack (Ti, ...) feature arrays into (B + pad_rows, t_len, ...),
+    zero-padded on T; extra rows (batch padding to a compiled bucket) are
+    all-zero.  `tail` pins the per-step shape (serving's pinned grid);
+    default: taken from the first array."""
+    tail = tuple(tail) if tail is not None else fts[0].shape[1:]
+    out = np.zeros((len(fts) + pad_rows, t_len) + tail, dtype=np.float32)
     for i, f in enumerate(fts):
         k = min(f.shape[0], t_len)
         out[i, :k] = f[:k]
     return out
+
+
+def pad_tokens(seqs: Sequence[np.ndarray], buckets: Sequence[int],
+               n_rows: int = 0, empty_len: int = 1) -> np.ndarray:
+    """Bucket + pad 1-D token sequences into (max(len(seqs), n_rows), L):
+    L is the smallest bucket covering the longest sequence; rows beyond
+    len(seqs) are all-PAD (batch padding — masked everywhere downstream).
+    The single tokenized-field assembly used by both the training collate
+    (make_batch) and the serving path (Responder.make_batch)."""
+    L = bucket_len(max((len(s) for s in seqs), default=empty_len), buckets)
+    arr = pad_to(seqs, L)
+    if n_rows > len(seqs):
+        arr = np.concatenate(
+            [arr, np.full((n_rows - len(seqs), L), PAD, dtype=np.int32)],
+            axis=0)
+    return arr
 
 
 def make_batch(histories: Sequence[np.ndarray],
@@ -113,12 +133,8 @@ def make_batch(histories: Sequence[np.ndarray],
     n_rows = max(B, pad_batch_to) if pad_batch_to else B
 
     def _tok(seqs, empty_len=1):
-        L = bucket_len(max((len(s) for s in seqs), default=empty_len), len_buckets)
-        arr = pad_to(seqs, L)
-        if n_rows > B:
-            arr = np.concatenate(
-                [arr, np.full((n_rows - B, L), PAD, dtype=np.int32)], axis=0)
-        return arr
+        return pad_tokens(seqs, len_buckets, n_rows=n_rows,
+                          empty_len=empty_len)
 
     query = _tok(questions)
     his = _tok(histories)

@@ -33,9 +33,23 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from bist_tpu.config import GenerateConfig, ModelConfig
-from bist_tpu.data.batching import Batch, bucket_len, pad_to
+from bist_tpu.data.batching import (Batch, bucket_len, pad_features,
+                                    pad_tokens)
 from bist_tpu.decode.beam import BeamResult, beam_search, extract_hyps
 from bist_tpu.vocab import EOS, PAD, SOS, make_id2word, words2ids
+
+DEFAULT_LEN_BUCKETS = (16, 32, 64, 128, 256)
+DEFAULT_TIME_BUCKETS = (16, 32, 48, 64)
+
+
+def default_batch_buckets(max_batch: int) -> Tuple[int, ...]:
+    """Queue-depth-aware batch geometry: each incoming group of requests is
+    padded to the SMALLEST compiled batch bucket that fits it, so a lightly-
+    loaded server does not pay full-max_batch decode latency for 3 queued
+    requests; under saturation every batch is max_batch.  Pure bucket
+    arithmetic — usable without instantiating a Responder (bundle export
+    needs the table before any device work)."""
+    return tuple(b for b in (8, 16, 32) if b < max_batch) + (max_batch,)
 
 
 def _clamp_head(ids: np.ndarray, max_len: int) -> np.ndarray:
@@ -78,8 +92,8 @@ class Responder:
 
     def __init__(self, params, cfg: ModelConfig, vocab: Dict[str, int],
                  gcfg: GenerateConfig, max_batch: int = 64,
-                 len_buckets=(16, 32, 64, 128, 256),
-                 time_buckets=(16, 32, 48, 64),
+                 len_buckets=DEFAULT_LEN_BUCKETS,
+                 time_buckets=DEFAULT_TIME_BUCKETS,
                  batch_buckets: Optional[Tuple[int, ...]] = None,
                  feat_int8: bool = False, beam_fn=None,
                  beam_fn_devices: int = 1,
@@ -117,13 +131,8 @@ class Responder:
         # or learned from warmup().  submit() validates requests against it
         # so one malformed grid cannot fail its whole coalesced batch.
         self.feat_tail = tuple(feat_tail) if feat_tail else None
-        # queue-depth-aware batch geometry: each incoming group of requests
-        # is padded to the SMALLEST compiled batch bucket that fits it, so a
-        # lightly-loaded server does not pay full-max_batch decode latency
-        # for 3 queued requests; under saturation every batch is max_batch.
         if batch_buckets is None:
-            batch_buckets = tuple(b for b in (8, 16, 32) if b < max_batch) \
-                + (max_batch,)
+            batch_buckets = default_batch_buckets(max_batch)
         self.batch_buckets = tuple(sorted(batch_buckets))
         assert self.batch_buckets[-1] == max_batch
         # int8 feature transfer: quantize the assembled grid host-side
@@ -164,7 +173,20 @@ class Responder:
         # (bist_tpu.export.Bundle.beam_fn) replaces the jit — the bundle
         # path never traces the model on the serving host.
         self._style = gcfg.decode_style
+        # validate the style UP FRONT, beam_fn or not: a bundle whose
+        # gcfg carries a bogus (or sample) style must fail at load, not on
+        # the first request (dispatch branches on _style at serve time)
+        if self._style not in ("beam_search", "greedy", "sample"):
+            raise ValueError(
+                f"serving supports decode_style 'beam_search', 'greedy' or "
+                f"'sample', not {self._style!r}")
         if beam_fn is not None:
+            if self._style == "sample":
+                raise ValueError(
+                    "AOT bundle programs do not support decode_style "
+                    "'sample' (per-request RNG keys are a live-server "
+                    "policy; serve the checkpoint with --decode-style "
+                    "sample instead)")
             self._beam = beam_fn
         elif self._style == "beam_search":
             self._beam = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
@@ -195,10 +217,6 @@ class Responder:
                 temperature=gcfg.temperature, top_k=gcfg.top_k,
                 top_p=gcfg.top_p, cache_dtype=gcfg.cache_dtype,
                 unroll=gcfg.scan_unroll, row_seeds=seeds))
-        else:
-            raise ValueError(
-                f"serving supports decode_style 'beam_search', 'greedy' or "
-                f"'sample', not {self._style!r}")
 
     def tokenize(self, text: str) -> np.ndarray:
         return words2ids(text, self.vocab)
@@ -217,43 +235,32 @@ class Responder:
             f"{self.batch_buckets[-1]}; split the group or raise max_batch")
 
     def make_batch(self, reqs: List[Request]) -> Batch:
+        # same assembly primitives as the training collate
+        # (data/batching.py pad_tokens/pad_features) so padding/truncation
+        # policy can never diverge between the serving and eval paths
         n = self.batch_rows(len(reqs))
         dummy = np.full((n, 1), SOS, np.int32)
+        pad_rows = n - len(reqs)
 
-        def tok(field_vals, buckets, default_len=1):
-            L = bucket_len(max((len(v) for v in field_vals), default=default_len),
-                           buckets)
-            arr = pad_to(list(field_vals), L)
-            if len(field_vals) < n:
-                arr = np.concatenate(
-                    [arr, np.full((n - len(field_vals), L), PAD, np.int32)])
-            return arr
-
-        q = tok([r.question for r in reqs], self.q_buckets)
-        h = tok([r.history for r in reqs], self.h_buckets)
+        q = pad_tokens([r.question for r in reqs], self.q_buckets, n_rows=n)
+        h = pad_tokens([r.history for r in reqs], self.h_buckets, n_rows=n)
         cap = None
         if self.cfg.has_caption:
-            cap = tok([r.caption if r.caption is not None
-                       else np.array([PAD], np.int32) for r in reqs],
-                      self.c_buckets)
+            cap = pad_tokens([r.caption if r.caption is not None
+                              else np.array([PAD], np.int32) for r in reqs],
+                             self.c_buckets, n_rows=n)
         fts = None
         if self.cfg.has_video:
             T = bucket_len(max(r.features.shape[0] for r in reqs),
                            self.time_buckets)
-            tail = self.feat_tail or reqs[0].features.shape[1:]
-            fts = np.zeros((n, T) + tuple(tail), np.float32)
-            for i, r in enumerate(reqs):
-                k = min(r.features.shape[0], T)
-                fts[i, :k] = r.features[:k]
+            fts = pad_features([r.features for r in reqs], T,
+                               tail=self.feat_tail, pad_rows=pad_rows)
         audio = None
         if self.cfg.has_audio:
             Ta = bucket_len(max(r.audio.shape[0] for r in reqs),
                             self.audio_time_buckets)
-            atail = reqs[0].audio.shape[1:]
-            audio = np.zeros((n, Ta) + atail, np.float32)
-            for i, r in enumerate(reqs):
-                k = min(r.audio.shape[0], Ta)
-                audio[i, :k] = r.audio[:k]
+            audio = pad_features([r.audio for r in reqs], Ta,
+                                 pad_rows=pad_rows)
         fts_scale = None
         if fts is not None and self.feat_int8:
             from bist_tpu.data.batching import quantize_features
@@ -312,7 +319,11 @@ class Responder:
         request group ever hits a serve-time compile — the module contract
         ("compiled at startup, never at serve time").  Pass
         all_batch_buckets=False to warm only the smallest bucket when
-        startup latency matters more than first-burst latency."""
+        startup latency matters more than first-burst latency.  `lens`
+        names the token-length geometries to precompile: for each L, one
+        batch whose question/history/caption all sit in the L bucket (the
+        diagonal of the length table; a bundle's full cross product goes
+        through warmup_geometries instead)."""
 
         # pin the served grid only when the caller STATES it (or a bundle
         # already did): defaulting to (16, Dv) here would make a JIT-served
@@ -322,12 +333,15 @@ class Responder:
                 and feature_shape is not None:
             self.feat_tail = tuple(feature_shape)
 
-        def mk():
+        def mk(L):
+            def tok(n):
+                t = np.full((max(n, 2),), 4, np.int32)
+                t[0], t[-1] = SOS, EOS
+                return t
+
             return Request(
-                question=np.array([SOS, 4, 3], np.int32),
-                history=np.array([PAD], np.int32),
-                caption=(np.array([PAD], np.int32)
-                         if self.cfg.has_caption else None),
+                question=tok(L), history=tok(L),
+                caption=(tok(L) if self.cfg.has_caption else None),
                 features=np.zeros((t_clips,) + tuple(
                     feature_shape or (16, self.cfg.ft_sizes[0])), np.float32)
                 if self.cfg.has_video else None,
@@ -337,7 +351,8 @@ class Responder:
         buckets = self.batch_buckets if all_batch_buckets \
             else self.batch_buckets[:1]
         for b in buckets:
-            self.respond([mk() for _ in range(b)])
+            for L in lens:
+                self.respond([mk(L) for _ in range(b)])
 
     def warmup_geometries(self, geometries) -> None:
         """Compile (or, for AOT bundles, backend-compile) EVERY geometry in
@@ -460,9 +475,11 @@ class DynamicBatcher:
                     self._finish_one(inflight)
                 continue
             reqs = [first]
-            deadline = time.time() + self.max_wait
+            # monotonic: a wall-clock step (NTP) must not stretch or shrink
+            # the coalescing window
+            deadline = time.monotonic() + self.max_wait
             while len(reqs) < self.max_batch:
-                remaining = deadline - time.time()
+                remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
                 try:
@@ -505,6 +522,13 @@ class DynamicBatcher:
         rsp = self.responder
         cfg = rsp.cfg
         if seed is not None:
+            # a seed on a deterministic server is a client misconfiguration
+            # (they expect seeded sampling); reject loudly rather than
+            # silently returning deterministic output
+            if rsp._style != "sample":
+                raise ValueError(
+                    f"'seed' is only meaningful with decode_style 'sample' "
+                    f"(this server decodes {rsp._style!r})")
             # dispatch() writes seeds into an int32 row array; a non-int or
             # out-of-range value there would fail the whole coalesced batch.
             # Negative values are reserved for the server's auto-seed stream.
@@ -555,11 +579,11 @@ class DynamicBatcher:
             if caption is not None else None
         r = Request(question=q_ids, history=h_ids, caption=c_ids,
                     features=features, audio=audio, seed=seed)
-        t0 = time.time()
+        t0 = time.monotonic()
         self._q.put(r)
         if not r._event.wait(timeout):
             raise TimeoutError("response generation timed out")
-        self._record_latency(time.time() - t0)
+        self._record_latency(time.monotonic() - t0)
         if r._error is not None:
             raise RuntimeError(f"batch failed: {r._error}") from r._error
         return r._answer

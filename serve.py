@@ -5,7 +5,9 @@
 
     POST /respond   {"question": "...", "history": "...", "caption": "...",
                      "features": [[...]] optional (T, S, Dv) nested lists
-                     or "features_b64": base64 of float32 .npy bytes}
+                     or "features_b64": base64 of float32 .npy bytes;
+                     "audio" / "audio_b64": (Ta, Da) likewise, for
+                     audio-visual checkpoints; "seed": int, sampling only}
     → {"answer": "...", "latency_ms": ...}
 
     GET /healthz    → {"ok": true, "stats": {...}}
@@ -141,6 +143,18 @@ def main(argv=None):
         # tracing, no jit warmup on this host (bist_tpu/export.py)
         from bist_tpu.export import load_bundle
 
+        # the decode config is BAKED into the bundle's programs; CLI decode
+        # flags cannot apply — warn on any the operator set explicitly
+        ignored = [f for f in ("decode_style", "beam", "maxlen", "penalty",
+                               "cache_dtype", "scan_unroll", "temperature",
+                               "top_k", "top_p", "sample_seed", "feat_int8",
+                               "feat_s")
+                   if getattr(args, f) != p.get_default(f)]
+        if ignored:
+            logging.warning(
+                "--bundle serves the bundle's baked decode config; ignoring "
+                "CLI flag(s): %s",
+                ", ".join("--" + f.replace("_", "-") for f in ignored))
         bundle = load_bundle(args.bundle)
         vocab, cfg = bundle.vocab, bundle.cfg
         responder = bundle.make_responder()
@@ -185,27 +199,29 @@ def main(argv=None):
         if args.export_bundle:
             from bist_tpu.export import (default_serving_geometries,
                                          save_bundle)
+            from bist_tpu.serving import (DEFAULT_TIME_BUCKETS,
+                                          default_batch_buckets)
 
-            responder = Responder(params, cfg, vocab, gcfg,
-                                  max_batch=args.max_batch,
-                                  feat_int8=bool(args.feat_int8))
             # cross product of batch buckets × per-field length buckets ×
             # time buckets: the bundle must carry EVERY shape its serving
             # host's batcher can produce (multi-turn histories routinely
-            # exceed one bucket; a missing geometry fails the whole batch)
+            # exceed one bucket; a missing geometry fails the whole batch).
+            # Bucket defaults are pure Python — no Responder (and thus no
+            # params H2D over the slow tunnel) is built just to export.
             def buckets(s):
-                return tuple(int(x) for x in s.split(",") if x)
+                return tuple(int(x) for x in s.split(",") if x.strip())
 
-            t_buckets = buckets(args.export_t) or responder.time_buckets
+            t_buckets = buckets(args.export_t) or DEFAULT_TIME_BUCKETS
             geoms = default_serving_geometries(
-                cfg, batch_buckets=responder.batch_buckets,
+                cfg, batch_buckets=default_batch_buckets(args.max_batch),
                 Lq=buckets(args.export_lq), Lh=buckets(args.export_lh),
                 Lc=buckets(args.export_lc), T=t_buckets,
                 S=(args.feat_s or 16),
                 Ta=(t_buckets[-1] if cfg.has_audio else None),
                 feat_int8=bool(args.feat_int8))
-            platforms = tuple(args.export_platforms.split(",")) \
-                if args.export_platforms else None
+            platforms = tuple(
+                s.strip() for s in args.export_platforms.split(",")
+                if s.strip()) or None
             save_bundle(args.export_bundle, params, cfg, gcfg, vocab,
                         geoms, platforms=platforms, dp=args.export_dp)
             logging.info("bundle written to %s (%d geometries)",
@@ -268,31 +284,47 @@ def make_http_server(host, port, server_b, *, requires_features=False):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
-                features = None
-                if "features_b64" in req:
-                    raw = base64.b64decode(req["features_b64"])
-                    features = np.load(io.BytesIO(raw), allow_pickle=False)
-                    if features.dtype == np.int8:
-                        # client-side int8 upload (4x fewer NIC bytes):
-                        # requires the per-position scale alongside
-                        sraw = base64.b64decode(req["features_scale_b64"])
-                        scale = np.load(io.BytesIO(sraw), allow_pickle=False)
-                        features = features.astype(np.float32) * scale
-                elif "features" in req and req["features"] is not None:
-                    features = np.asarray(req["features"], np.float32)
+
+                def load_array(prefix):
+                    # "<prefix>_b64" (base64 .npy bytes; int8 features come
+                    # with "<prefix>_scale_b64" alongside) or "<prefix>"
+                    # (nested lists) — shared by features and audio
+                    if f"{prefix}_b64" in req:
+                        raw = base64.b64decode(req[f"{prefix}_b64"])
+                        arr = np.load(io.BytesIO(raw), allow_pickle=False)
+                        if arr.dtype == np.int8:
+                            # client-side int8 upload (4x fewer NIC bytes)
+                            skey = f"{prefix}_scale_b64"
+                            if skey not in req:
+                                raise ValueError(
+                                    f"int8 {prefix} upload requires {skey}")
+                            sraw = base64.b64decode(req[skey])
+                            scale = np.load(io.BytesIO(sraw),
+                                            allow_pickle=False)
+                            arr = arr.astype(np.float32) * scale
+                        return arr
+                    if req.get(prefix) is not None:
+                        return np.asarray(req[prefix], np.float32)
+                    return None
+
+                features = load_array("features")
+                audio = load_array("audio")
                 if features is None and requires_features:
                     self._send(400, {"error": "model requires features"})
+                    return
+                if "question" not in req:
+                    self._send(400, {"error": "missing 'question' field"})
                     return
                 t0 = time.time()
                 answer = server_b.submit(
                     req["question"], history=req.get("history", ""),
                     caption=req.get("caption"), features=features,
-                    seed=req.get("seed"))
+                    audio=audio, seed=req.get("seed"))
                 self._send(200, {"answer": answer,
                                  "latency_ms": (time.time() - t0) * 1e3})
-            except ValueError as e:
-                # submit()'s fail-fast validation: the request itself is
-                # malformed (shape/seed/field errors) — a client error
+            except (ValueError, KeyError) as e:
+                # submit()'s fail-fast validation or a malformed payload
+                # (shape/seed/field errors) — a client error, not a 500
                 self._send(400, {"error": str(e)})
             except Exception as e:
                 self._send(500, {"error": str(e)})

@@ -551,3 +551,149 @@ def test_sample_decode_style_serving(rng):
         assert ask(42) == alone               # server still healthy after
     finally:
         server.stop()
+
+
+def test_seed_rejected_on_deterministic_server(served, rng):
+    """Round-4 review: a 'seed' on a beam_search/greedy server is a client
+    misconfiguration (they expect seeded sampling) — reject at submit()
+    instead of silently returning deterministic output."""
+    fts = rng.standard_normal((5, 4, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="only meaningful"):
+        served.submit("what is he doing", features=fts, seed=42)
+
+
+def test_bundle_style_validated_at_construction():
+    """Round-4 review: a Responder built around an AOT program (beam_fn)
+    must validate decode_style at LOAD time — a bogus or 'sample' style in
+    a bundle's gcfg used to explode on the first request instead."""
+    vocab = dict(SPECIALS)
+    vocab["a"] = len(vocab)
+    cfg = ModelConfig(vocab_size=len(vocab), nb_blocks=1, nb_venc_blocks=1,
+                      nb_cenc_blocks=0, d_model=16, att_h=2, dropout=0.0,
+                      include_caption="none", ft_sizes=(8,))
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    fake_fn = lambda p, b: None  # noqa: E731 — never called
+    with pytest.raises(ValueError, match="sample"):
+        Responder(params, cfg, vocab,
+                  GenerateConfig(maxlen=4, decode_style="sample"),
+                  beam_fn=fake_fn)
+    with pytest.raises(ValueError, match="decode_style"):
+        Responder(params, cfg, vocab,
+                  GenerateConfig(maxlen=4, decode_style="bogus"),
+                  beam_fn=fake_fn)
+
+
+def test_warmup_lens_warms_length_buckets(rng):
+    """Round-4 review: warmup(lens=...) actually compiles those token-length
+    geometries (the param was accepted but dead, so a first request longer
+    than the default bucket hit a serve-time compile)."""
+    vocab = dict(SPECIALS)
+    for w in "a the man is walking what doing he".split():
+        vocab[w] = len(vocab)
+    cfg = ModelConfig(vocab_size=len(vocab), nb_blocks=1, nb_venc_blocks=1,
+                      nb_cenc_blocks=1, d_model=16, att_h=2, dropout=0.0,
+                      include_caption="summary", separate_caption=True,
+                      ft_sizes=(8,))
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    gcfg = GenerateConfig(maxlen=3, beam=2, penalty=1.0, nbest=1)
+    responder = Responder(params, cfg, vocab, gcfg, max_batch=2,
+                          len_buckets=(8, 16, 32), time_buckets=(8,))
+    widths = []
+    orig = responder.make_batch
+
+    def spy(reqs):
+        b = orig(reqs)
+        widths.append(b.query.shape[1])
+        return b
+
+    responder.make_batch = spy
+    responder.warmup(feature_shape=(4, 8), t_clips=8, lens=(8, 32),
+                     all_batch_buckets=False)
+    assert sorted(set(widths)) == [8, 32]
+
+
+def test_http_audio_model_round_trip(rng):
+    """Round-4 review: audio-visual checkpoints are serveable over HTTP —
+    the protocol carries 'audio' / 'audio_b64' alongside features (every
+    request to a has_audio model used to 400 at submit); missing 'question'
+    and missing int8 scale are client errors (400), not 500s."""
+    import base64
+    import io
+    import json as _json
+    import sys
+    import threading as _threading
+    import urllib.error
+    import urllib.request
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from serve import make_http_server
+
+    vocab = dict(SPECIALS)
+    for w in "a the man is walking what doing he".split():
+        vocab[w] = len(vocab)
+    cfg = ModelConfig(vocab_size=len(vocab), nb_blocks=1, nb_venc_blocks=1,
+                      nb_cenc_blocks=0, nb_aenc_blocks=1, d_model=16,
+                      att_h=2, dropout=0.0, include_caption="none",
+                      ft_sizes=(8, 6))
+    assert cfg.has_audio
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    gcfg = GenerateConfig(maxlen=3, beam=2, penalty=1.0, nbest=1)
+    responder = Responder(params, cfg, vocab, gcfg, max_batch=2,
+                          len_buckets=(8, 16), time_buckets=(8,))
+    responder.warmup(feature_shape=(4, 8), t_clips=8,
+                     all_batch_buckets=False)
+    server = DynamicBatcher(responder, max_batch=2, max_wait_ms=5)
+    server.start()
+    httpd = make_http_server("127.0.0.1", 0, server, requires_features=True)
+    port = httpd.server_address[1]
+    t = _threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    fts = rng.standard_normal((5, 4, 8)).astype(np.float32)
+    aud = rng.standard_normal((4, 6)).astype(np.float32)
+
+    def post(obj):
+        req = urllib.request.Request(
+            f"{base}/respond", data=_json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, _json.load(r)
+
+    try:
+        code, resp = post({"question": "what is he doing",
+                           "features": fts.tolist(),
+                           "audio": aud.tolist()})
+        assert code == 200 and isinstance(resp["answer"], str)
+
+        buf = io.BytesIO()
+        np.save(buf, aud)
+        code, resp = post({"question": "what is he doing",
+                           "features": fts.tolist(),
+                           "audio_b64": base64.b64encode(
+                               buf.getvalue()).decode()})
+        assert code == 200 and isinstance(resp["answer"], str)
+
+        # audio omitted on an audio model: submit()'s validation -> 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post({"question": "what", "features": fts.tolist()})
+        assert ei.value.code == 400
+
+        # missing 'question' is a client error, not a 500
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post({"features": fts.tolist(), "audio": aud.tolist()})
+        assert ei.value.code == 400
+
+        # int8 features upload without the scale field: 400
+        q8 = np.zeros((5, 4, 8), np.int8)
+        b1 = io.BytesIO()
+        np.save(b1, q8)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post({"question": "what",
+                  "features_b64": base64.b64encode(b1.getvalue()).decode(),
+                  "audio": aud.tolist()})
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        server.stop()
