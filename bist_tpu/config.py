@@ -210,6 +210,15 @@ class GenerateConfig:
                                         # 0.68x — decode is op-latency-bound,
                                         # the casts add ops; BENCH.md round 3)
                                         # — default-off knob for other hw
+    encode_dtype: str = ""              # ctx-PRECOMPUTE activation dtype
+                                        # (the encoder + BiST reasoning stack
+                                        # run once per batch before the step
+                                        # loop).  '' inherits ModelConfig.
+                                        # dtype; 'bfloat16' runs that MXU-
+                                        # bound slice in bf16 independently
+                                        # of the latency-bound step loop
+                                        # (compute_dtype).  Answers may
+                                        # differ from f32 in ties — opt-in
     early_exit: bool = False            # beam search: stop the decode loop
                                         # once no future completion can beat
                                         # the kept n-best (exact bound —

@@ -35,7 +35,7 @@ import numpy as np
 from bist_tpu.config import GenerateConfig, ModelConfig
 from bist_tpu.data.batching import Batch
 from bist_tpu.models.model import (
-    DecodeCache, decode_step, init_cache, precompute_decode_ctx,
+    DecodeCache, decode_step, encode_cfg, init_cache, precompute_decode_ctx,
     storage_dtype,
 )
 from bist_tpu.vocab import EOS, PAD, SOS, UNK
@@ -100,7 +100,10 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
     # projection GEMMs); scores/softmax/generator stay f32 — see decode_step
     compute_dt = (jnp.bfloat16 if gcfg.compute_dtype == "bfloat16"
                   else jnp.float32)
-    ctxs = [precompute_decode_ctx(p, cfg, batch, dtype=cache_dt)
+    # encode_dtype governs the ctx PRECOMPUTE activations only (encode +
+    # modality stack, run once per batch) — see model.encode_cfg
+    ecfg = encode_cfg(cfg, gcfg.encode_dtype)
+    ctxs = [precompute_decode_ctx(p, ecfg, batch, dtype=cache_dt)
             for p in params_list]
     caches = [init_cache(cfg, B * K, maxlen + 1, dtype=cache_dt)
               for _ in params_list]
@@ -254,14 +257,16 @@ def beam_search_jit(params, cfg: ModelConfig, batch: Batch,
 
 def greedy_decode(params, cfg: ModelConfig, batch: Batch,
                   maxlen: int, cache_dtype: str = "float32",
-                  unroll: int = 1) -> jnp.ndarray:
+                  unroll: int = 1, encode_dtype: str = "") -> jnp.ndarray:
     """Argmax decoding; returns (B, maxlen) token ids (may contain <eos>;
     caller truncates).  Fixes the reference's dead greedy path.
     `unroll` = scan-body replication, the same perf knob as
-    GenerateConfig.scan_unroll (identical numerics)."""
+    GenerateConfig.scan_unroll (identical numerics); `encode_dtype` = the
+    ctx-precompute activation dtype (GenerateConfig.encode_dtype)."""
     B = batch.query.shape[0]
     dt = storage_dtype(cache_dtype)
-    ctx = precompute_decode_ctx(params, cfg, batch, dtype=dt)
+    ctx = precompute_decode_ctx(params, encode_cfg(cfg, encode_dtype),
+                                batch, dtype=dt)
     cache = init_cache(cfg, B, maxlen + 1, dtype=dt)
     tok0 = jnp.full((B,), SOS, jnp.int32)
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from bist_tpu.config import ModelConfig
 from bist_tpu.data.batching import Batch
 from bist_tpu.models.model import (
-    decode_step, init_cache, precompute_decode_ctx, storage_dtype,
+    decode_step, encode_cfg, init_cache, precompute_decode_ctx, storage_dtype,
 )
 from bist_tpu.vocab import PAD, SOS, UNK
 
@@ -59,7 +59,8 @@ def sample_decode(params, cfg: ModelConfig, batch: Batch, maxlen: int,
                   key: jax.Array, temperature: float = 1.0, top_k: int = 0,
                   top_p: float = 0.0,
                   cache_dtype: str = "float32",
-                  unroll: int = 1, row_seeds=None) -> jnp.ndarray:
+                  unroll: int = 1, row_seeds=None,
+                  encode_dtype: str = "") -> jnp.ndarray:
     """Sampled decoding; returns (B, maxlen) token ids (may contain <eos>;
     caller truncates, as with greedy_decode).  `unroll` = scan-body
     replication, the same perf knob as GenerateConfig.scan_unroll
@@ -72,7 +73,8 @@ def sample_decode(params, cfg: ModelConfig, batch: Batch, maxlen: int,
     per-request stream (tests/test_sample.py batch-invariance)."""
     B = batch.query.shape[0]
     dt = storage_dtype(cache_dtype)
-    ctx = precompute_decode_ctx(params, cfg, batch, dtype=dt)
+    ctx = precompute_decode_ctx(params, encode_cfg(cfg, encode_dtype),
+                                batch, dtype=dt)
     cache = init_cache(cfg, B, maxlen + 1, dtype=dt)
     tok0 = jnp.full((B,), SOS, jnp.int32)
     temp = max(float(temperature), 1e-4)

@@ -270,6 +270,23 @@ def _bd_kv(K: jnp.ndarray, V: jnp.ndarray):
     return Kbd, Vbd
 
 
+def encode_cfg(cfg: ModelConfig, encode_dtype: str) -> ModelConfig:
+    """Resolve GenerateConfig.encode_dtype into the cfg used for ctx
+    precompute (encode + the full modality reasoning stack).
+
+    '' inherits cfg.dtype (the historical behaviour); 'bfloat16'/'float32'
+    override the activation dtype for the precompute ONLY — decode_step
+    keeps its own compute_dtype knob, because the two slices live in
+    different regimes (precompute is MXU-bound over full sequences, the
+    step loop is op-latency-bound; BENCH.md round 3/4)."""
+    if not encode_dtype or encode_dtype == cfg.dtype:
+        return cfg
+    if encode_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"encode_dtype {encode_dtype!r}: expected '' "
+                         "(inherit), 'float32' or 'bfloat16'")
+    return cfg.replace(dtype=encode_dtype)
+
+
 def precompute_decode_ctx(params: Params, cfg: ModelConfig,
                           batch: Batch, dtype=jnp.float32) -> DecodeCtx:
     """Run encode + the full modality reasoning stack once; pre-project every

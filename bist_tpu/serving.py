@@ -198,7 +198,7 @@ class Responder:
 
             self._beam = jax.jit(lambda p, b: greedy_decode(
                 p, cfg, b, gcfg.maxlen, cache_dtype=gcfg.cache_dtype,
-                unroll=gcfg.scan_unroll))
+                unroll=gcfg.scan_unroll, encode_dtype=gcfg.encode_dtype))
         elif self._style == "sample":
             # per-request RNG streams: row i draws from
             # fold_in(base_key, seeds[i]) — reproducible per request and
@@ -216,7 +216,8 @@ class Responder:
                 p, cfg, b, gcfg.maxlen, base_key,
                 temperature=gcfg.temperature, top_k=gcfg.top_k,
                 top_p=gcfg.top_p, cache_dtype=gcfg.cache_dtype,
-                unroll=gcfg.scan_unroll, row_seeds=seeds))
+                unroll=gcfg.scan_unroll, row_seeds=seeds,
+                encode_dtype=gcfg.encode_dtype))
 
     def tokenize(self, text: str) -> np.ndarray:
         return words2ids(text, self.vocab)

@@ -58,6 +58,13 @@ def build_parser():
                         "memory at 1 byte/elem (upcast to bf16 at read; "
                         "~2 significant digits — experimental, answers may "
                         "shift; BENCH.md round 4)")
+    p.add_argument("--encode-dtype", default="",
+                   choices=["", "float32", "bfloat16"],
+                   help="ctx-precompute activation dtype (the encoder + "
+                        "BiST stack run once per batch before the decode "
+                        "loop).  '' inherits the model's training dtype; "
+                        "bfloat16 speeds the MXU-bound precompute slice "
+                        "(answers may differ from f32 in ties)")
     p.add_argument("--scan-unroll", default=1, type=int,
                    help="beam-scan body replication (identical numerics); 8 "
                         "measured 1.25x decode throughput vs 1 on the v5e "
@@ -194,7 +201,8 @@ def main(argv=None):
                           decode_style=args.decode_style,
                           gen_batch_size=args.gen_batch_size,
                           cache_dtype=args.cache_dtype,
-                          scan_unroll=args.scan_unroll)
+                          scan_unroll=args.scan_unroll,
+                          encode_dtype=args.encode_dtype)
 
     logging.info("----------------------- generate --------------------------")
     start_time = time.time()
@@ -203,7 +211,7 @@ def main(argv=None):
     beam_jit = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
     greedy_jit = jax.jit(lambda p, b: greedy_decode(
         p, cfg, b, gcfg.maxlen, cache_dtype=gcfg.cache_dtype,
-        unroll=gcfg.scan_unroll))
+        unroll=gcfg.scan_unroll, encode_dtype=gcfg.encode_dtype))
     # oracle = teacher-forced argmax; needs labeled targets (reference's dead
     # oracle_decode path, made to work — see decode/beam.py:oracle_decode)
     oracle_jit = jax.jit(lambda p, b: oracle_decode(p, cfg, b))
@@ -213,7 +221,7 @@ def main(argv=None):
     sample_jit = jax.jit(lambda p, b, k: sample_decode(
         p, cfg, b, gcfg.maxlen, k, temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p, cache_dtype=gcfg.cache_dtype,
-        unroll=gcfg.scan_unroll))
+        unroll=gcfg.scan_unroll, encode_dtype=gcfg.encode_dtype))
     # fold a batch counter into the key so rows of DIFFERENT batches draw
     # independent categorical noise (sample_decode itself only folds in the
     # step index); one compile, the key is a runtime argument

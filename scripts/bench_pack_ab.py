@@ -33,7 +33,8 @@ def main():
                     choices=["train", "decode", "prng", "adam", "presplit",
                              "cachedtype", "unroll", "computedtype",
                              "batchsize", "bdcross", "regroupmm",
-                             "decodeops", "earlyexit", "both"])
+                             "decodeops", "earlyexit", "encodedtype",
+                             "ctxshare", "both"])
     ap.add_argument("--batch-b", type=int, default=96,
                     help="the B side of --what batchsize (decode-throughput "
                          "A/B of two batch sizes in one tunnel window)")
@@ -271,6 +272,56 @@ def main():
         dc_f = build_decode_chain(False, gc=gc_f, unroll=args.unroll)
         decode_ab(dc_b, dc_f, "bf16-compute", "f32-compute",
                   extra=f"; batch {B}, unroll {args.unroll}")
+
+    if args.what == "encodedtype":
+        # ctx-PRECOMPUTE activation dtype A/B (GenerateConfig.encode_dtype):
+        # the encoder + BiST reasoning stack run once per batch BEFORE the
+        # step loop and are MXU-bound over full sequences — the opposite
+        # regime of the per-step GEMMs where bf16 compute measured 0.57x.
+        # Both sides keep the shipped bf16 cache + unroll.
+        gc_f = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
+                              cache_dtype="bfloat16")
+        gc_e = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
+                              cache_dtype="bfloat16",
+                              encode_dtype="bfloat16")
+        dc_e = build_decode_chain(False, gc=gc_e, unroll=args.unroll)
+        dc_f = build_decode_chain(False, gc=gc_f, unroll=args.unroll)
+        decode_ab(dc_e, dc_f, "bf16-encode", "f32-encode",
+                  extra=f"; batch {B}, unroll {args.unroll}")
+
+    if args.what == "ctxshare":
+        # How much of a generate call is ctx PRECOMPUTE vs the step loop?
+        # Side A = the full beam call, side B = precompute_decode_ctx alone
+        # (reduced over every float leaf so XLA cannot dead-code-eliminate
+        # any layer's projections).  B/A is the share the encode_dtype knob
+        # can touch; (A - B) bounds the step loop + finalize.
+        from bist_tpu.models.model import precompute_decode_ctx
+
+        gc_bf = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
+                               cache_dtype="bfloat16")
+
+        @partial(jax.jit, static_argnames="n")
+        def ctx_chain(params, batch, n):
+            def body(c, _):
+                b2 = batch._replace(query=batch.query + unprovable_zero(c))
+                ctx = precompute_decode_ctx(params, cfg, b2,
+                                            dtype=jnp.bfloat16)
+                s = sum(jnp.sum(x.astype(jnp.float32))
+                        for x in jax.tree_util.tree_leaves(ctx)
+                        if jnp.issubdtype(x.dtype, jnp.inexact))
+                return c + s, None
+
+            out, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+            return out
+
+        for n in (d_lo, d_hi):
+            float(ctx_chain(params, batch, n=n))
+        dc_full = build_decode_chain(False, gc=gc_bf, unroll=args.unroll)
+        ms_full, ms_ctx = decode_ab(
+            dc_full, ctx_chain, "full-beam-call", "ctx-precompute-only",
+            extra=f"; batch {B}, unroll {args.unroll}")
+        print(f"ctx-precompute share: {ms_ctx / max(ms_full, 1e-9):.1%} "
+              f"of the full call ({ms_ctx:.2f} of {ms_full:.2f} ms)")
 
     def flag_chain_ab(set_flag, label_a, label_b):
         """A/B a trace-time module flag over the shipped bf16-cache decode

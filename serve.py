@@ -97,6 +97,12 @@ def main(argv=None):
                         "default; float32 restores bit-parity with "
                         "generate.py; float8_* (1 byte/elem, bf16 compute) "
                         "is experimental — answers may shift")
+    p.add_argument("--encode-dtype", default="",
+                   choices=["", "float32", "bfloat16"],
+                   help="ctx-precompute activation dtype ('' inherits the "
+                        "model's training dtype; bfloat16 speeds the "
+                        "MXU-bound per-batch precompute slice — answers may "
+                        "differ from f32 in ties)")
     p.add_argument("--maxlen", type=int, default=12)
     p.add_argument("--penalty", type=float, default=1.0)
     p.add_argument("--scan-unroll", type=int, default=4,
@@ -146,7 +152,8 @@ def main(argv=None):
         # the decode config is BAKED into the bundle's programs; CLI decode
         # flags cannot apply — warn on any the operator set explicitly
         ignored = [f for f in ("decode_style", "beam", "maxlen", "penalty",
-                               "cache_dtype", "scan_unroll", "temperature",
+                               "cache_dtype", "encode_dtype", "scan_unroll",
+                               "temperature",
                                "top_k", "top_p", "sample_seed", "feat_int8",
                                "feat_s")
                    if getattr(args, f) != p.get_default(f)]
@@ -187,6 +194,7 @@ def main(argv=None):
         gcfg = GenerateConfig(maxlen=args.maxlen, beam=args.beam,
                               penalty=args.penalty, nbest=1,
                               cache_dtype=args.cache_dtype,
+                              encode_dtype=args.encode_dtype,
                               scan_unroll=args.scan_unroll,
                               decode_style=args.decode_style,
                               temperature=args.temperature,

@@ -169,6 +169,40 @@ def test_bf16_compute_close_to_f32(rng):
                                np.asarray(rbf.scores), rtol=0.05, atol=0.05)
 
 
+def test_bf16_encode_close_to_f32(rng):
+    """encode_dtype='bfloat16' runs the ctx PRECOMPUTE (encoder + modality
+    stack, once per batch) in bf16 while the step loop stays at its own
+    compute_dtype.  On a tiny model hypotheses must match f32 and scores
+    stay close; '' (the default) must be bit-identical to the f32 path."""
+    cfg = tiny_cfg()
+    batch = tiny_batch(rng)
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    g32 = GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=3)
+    ginh = GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=3,
+                          encode_dtype="float32")
+    gbf = GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=3,
+                         encode_dtype="bfloat16")
+    r32 = beam_search(params, cfg, batch, g32)
+    rinh = beam_search(params, cfg, batch, ginh)
+    rbf = beam_search(params, cfg, batch, gbf)
+    # explicit f32 == default-inherit (cfg.dtype is f32): bit-identical
+    np.testing.assert_array_equal(np.asarray(r32.tokens),
+                                  np.asarray(rinh.tokens))
+    np.testing.assert_array_equal(np.asarray(r32.scores),
+                                  np.asarray(rinh.scores))
+    np.testing.assert_array_equal(np.asarray(r32.tokens),
+                                  np.asarray(rbf.tokens))
+    np.testing.assert_allclose(np.asarray(r32.scores),
+                               np.asarray(rbf.scores), rtol=0.05, atol=0.05)
+    # greedy + sample take the knob as a plain kwarg
+    g1 = greedy_decode(params, cfg, batch, 6, encode_dtype="bfloat16")
+    assert np.asarray(g1).shape == (batch.query.shape[0], 6)
+    with pytest.raises(ValueError, match="encode_dtype"):
+        beam_search(params, cfg, batch,
+                    GenerateConfig(maxlen=3, beam=2, nbest=1,
+                                   encode_dtype="float16"))
+
+
 @pytest.mark.parametrize("unroll", [4, 6])
 def test_scan_unroll_identical(rng, unroll):
     """scan_unroll replicates the lax.scan body (the bench/serving perf knob;
