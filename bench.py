@@ -214,6 +214,8 @@ def main():
     gcfg = GenerateConfig(maxlen=12, beam=5, penalty=1.0, nbest=5,
                           cache_dtype=os.environ.get("BENCH_CACHE_DTYPE",
                                                      "bfloat16"),
+                          encode_dtype=os.environ.get("BENCH_ENCODE_DTYPE",
+                                                      ""),
                           scan_unroll=int(os.environ.get("BENCH_UNROLL",
                                                          "4")))
 

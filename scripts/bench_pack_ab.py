@@ -59,6 +59,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from bist_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from bist_tpu.config import GenerateConfig, ModelConfig, TrainConfig
     from bist_tpu.data.batching import Batch
     from bist_tpu.decode.beam import beam_search
