@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--beam", type=int, default=5)
     ap.add_argument("--bd-cross", type=int, default=0)
     ap.add_argument("--platform", default="tpu")
+    ap.add_argument("--region", default="step", choices=["step", "ctx"],
+                    help="step = the scan body (per-decode-step program); "
+                         "ctx = the ctx-PRECOMPUTE program "
+                         "(precompute_decode_ctx lowered standalone — the "
+                         "32%% pre-loop share measured by bench_pack_ab "
+                         "--what ctxshare)")
     ap.add_argument("--dump", default="", help="write full StableHLO here")
     args = ap.parse_args()
 
@@ -60,9 +66,17 @@ def main():
 
     from jax import export as jexport
 
-    exp = jexport.export(
-        jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg)),
-        platforms=[args.platform])(params, batch_avals)
+    if args.region == "ctx":
+        from bist_tpu.models.model import precompute_decode_ctx
+
+        exp = jexport.export(
+            jax.jit(lambda p, b: precompute_decode_ctx(
+                p, cfg, b, dtype=jnp.bfloat16)),
+            platforms=[args.platform])(params, batch_avals)
+    else:
+        exp = jexport.export(
+            jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg)),
+            platforms=[args.platform])(params, batch_avals)
     hlo = exp.mlir_module()
     if args.dump:
         open(args.dump, "w").write(hlo)
@@ -79,12 +93,23 @@ def main():
             j += 1
         return text[i + 1: j]
 
+    def func_body(text, start):
+        # the body brace is the LAST "{" on the (single-line) signature —
+        # earlier braces are inline attr dicts like {jax.result_info = ...}
+        nl = text.find("\n", start)
+        return region_after(text, text.rfind("{", start, nl))
+
     funcs = {}
     for m in re.finditer(r"func\.func (?:private|public) @([\w]+)", hlo):
-        funcs[m.group(1)] = region_after(hlo, m.end())
+        funcs[m.group(1)] = func_body(hlo, m.end())
 
-    w = hlo.find("stablehlo.while")
-    body = region_after(hlo, hlo.find(" do {", w) + 3)
+    if args.region == "ctx":
+        # whole program: the ctx precompute has no loop — count its main func
+        m = re.search(r"func\.func public @(\w+)", hlo)
+        body = funcs[m.group(1)]
+    else:
+        w = hlo.find("stablehlo.while")
+        body = region_after(hlo, hlo.find(" do {", w) + 3)
 
     def count_ops(text, counts, depth=0):
         for m in re.finditer(r"stablehlo\.(\w+)", text):
@@ -108,7 +133,9 @@ def main():
 
     label = f"B={args.batch} beam={args.beam} bf16-cache " \
             f"bd_cross={bool(args.bd_cross)} ({args.platform} lowering)"
-    print(f"\n## Per-decode-step StableHLO op budget — {label}\n")
+    what = ("ctx-precompute" if args.region == "ctx"
+            else "Per-decode-step")
+    print(f"\n## {what} StableHLO op budget — {label}\n")
     print("| op (survives fusion ~1:1) | count |")
     print("|---|---|")
     for k in sorted(survive, key=lambda k: -survive[k]):
@@ -122,7 +149,8 @@ def main():
           f"{n_gather} gather, {n_dus} dynamic_update_slice, "
           f"{counts.get('sort', 0) + counts.get('top_k', 0)} sort/top_k, "
           f"{counts.get('reduce', 0)} reduce, "
-          f"{counts.get('dynamic_slice', 0)} dynamic_slice per step")
+          f"{counts.get('dynamic_slice', 0)} dynamic_slice per "
+          f"{'ctx call' if args.region == 'ctx' else 'step'}")
 
 
 if __name__ == "__main__":
