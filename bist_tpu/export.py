@@ -261,7 +261,7 @@ def save_bundle(path: str, params, cfg: ModelConfig, gcfg: GenerateConfig,
     if gcfg.decode_style == "greedy":
         fn = jax.jit(lambda p, b: greedy_decode(
             p, cfg, b, gcfg.maxlen, cache_dtype=gcfg.cache_dtype,
-            unroll=gcfg.scan_unroll))
+            unroll=gcfg.scan_unroll, encode_dtype=gcfg.encode_dtype))
     elif gcfg.decode_style == "beam_search":
         fn = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))
     else:

@@ -336,10 +336,12 @@ def precompute_decode_ctx(params: Params, cfg: ModelConfig,
                 .astype(dtype),
                 onehot=jax.nn.one_hot(text, cfg.vocab_size, dtype=dtype)))
         ptr_src = tuple(srcs)
-    if dtype != jnp.float32:
-        layer_kv = [
-            {name: (k.astype(dtype), v.astype(dtype))
-             for name, (k, v) in kv.items()} for kv in layer_kv]
+    # unconditional: with encode_dtype=bf16 the projections come out bf16
+    # even when f32 STORAGE was requested (cache_dtype default) — the cast
+    # must land the contract dtype either way (same-dtype astype is free)
+    layer_kv = [
+        {name: (k.astype(dtype), v.astype(dtype))
+         for name, (k, v) in kv.items()} for kv in layer_kv]
     # NOTE: the raw encoded_* tensors and token arrays are consumed here to
     # build ptr_src but are NOT carried in the context — decode_step reads
     # only layer_kv/masks/ptr_src, and dead (B, L, D) tensors would otherwise

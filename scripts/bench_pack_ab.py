@@ -59,9 +59,15 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from bist_tpu.utils.cache import enable_compilation_cache
+    if args.device != "cpu":
+        # persistent cache: cuts the multi-minute remote axon compiles.  NOT
+        # on CPU — the CPU backend AOT-loads cache entries whose recorded
+        # machine features can mismatch the host (XLA cpu_aot_loader warns of
+        # possible SIGILL), and a differently-specialized executable would
+        # skew the very timing this harness exists to make trustworthy.
+        from bist_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
+        enable_compilation_cache()
 
     from bist_tpu.config import GenerateConfig, ModelConfig, TrainConfig
     from bist_tpu.data.batching import Batch

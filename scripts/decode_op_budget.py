@@ -97,7 +97,10 @@ def main():
         # the body brace is the LAST "{" on the (single-line) signature —
         # earlier braces are inline attr dicts like {jax.result_info = ...}
         nl = text.find("\n", start)
-        return region_after(text, text.rfind("{", start, nl))
+        brace = text.rfind("{", start, nl if nl != -1 else len(text))
+        if brace == -1:
+            return ""  # declaration-only func: no body to count
+        return region_after(text, brace)
 
     funcs = {}
     for m in re.finditer(r"func\.func (?:private|public) @([\w]+)", hlo):

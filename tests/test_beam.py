@@ -203,6 +203,37 @@ def test_bf16_encode_close_to_f32(rng):
                                    encode_dtype="float16"))
 
 
+def test_bf16_encode_f32_cache_storage_contract(rng):
+    """The mixed case generate.py ships by default with --encode-dtype
+    bfloat16: ctx ACTIVATIONS bf16, STORAGE f32 (cache_dtype default).  The
+    precomputed decode memory must land in the requested storage dtype even
+    though the projections come out of a bf16 encoder, and the beam must
+    still run (hypotheses match the all-f32 path on a tiny model)."""
+    from bist_tpu.models.model import encode_cfg, precompute_decode_ctx
+
+    cfg = tiny_cfg()
+    batch = tiny_batch(rng)
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    ctx = precompute_decode_ctx(params, encode_cfg(cfg, "bfloat16"),
+                                batch, dtype=jnp.float32)
+    for kv in ctx.layer_kv:
+        for name, (k, v) in kv.items():
+            assert k.dtype == jnp.float32, (name, k.dtype)
+            assert v.dtype == jnp.float32, (name, v.dtype)
+    for src in ctx.ptr_src:
+        assert src.enc.dtype == jnp.float32
+        assert src.k.dtype == jnp.float32
+        assert src.onehot.dtype == jnp.float32
+    r32 = beam_search(params, cfg, batch,
+                      GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=3))
+    rmix = beam_search(params, cfg, batch,
+                       GenerateConfig(maxlen=5, beam=3, penalty=1.0, nbest=3,
+                                      encode_dtype="bfloat16",
+                                      cache_dtype="float32"))
+    np.testing.assert_array_equal(np.asarray(r32.tokens),
+                                  np.asarray(rmix.tokens))
+
+
 @pytest.mark.parametrize("unroll", [4, 6])
 def test_scan_unroll_identical(rng, unroll):
     """scan_unroll replicates the lax.scan body (the bench/serving perf knob;

@@ -63,6 +63,23 @@ def test_bf16_cache_matches_f32_tokens(rng):
         np.testing.assert_array_equal(f32, bf16)
 
 
+def test_encode_dtype_kwarg_sample(rng):
+    """sample_decode's encode_dtype wiring (used by the serving sample jit):
+    bf16 ctx precompute must produce the same greedy-equivalent (top_k=1)
+    tokens as f32 on a tiny model, and '' must inherit bit-identically."""
+    cfg = tiny_cfg()
+    batch = tiny_batch(rng)
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    key = jax.random.PRNGKey(7)
+    f32 = np.asarray(sample_decode(params, cfg, batch, 5, key, top_k=1))
+    inh = np.asarray(sample_decode(params, cfg, batch, 5, key, top_k=1,
+                                   encode_dtype="float32"))
+    bf16 = np.asarray(sample_decode(params, cfg, batch, 5, key, top_k=1,
+                                    encode_dtype="bfloat16"))
+    np.testing.assert_array_equal(f32, inh)
+    np.testing.assert_array_equal(f32, bf16)
+
+
 def test_sampling_deterministic_per_key(rng):
     cfg = tiny_cfg()
     batch = tiny_batch(rng)
