@@ -1,55 +1,9 @@
 #!/usr/bin/env python
-"""Evaluation entry point — the stage-3 equivalent of the reference's
-dstc7avsd_eval/dstc7avsd_eval.sh, fully in-process python3 (no git clone, no
-python2, no Java; see bist_tpu.evalkit).
-
-Usage: python evaluate.py result1.json [result2.json ...]
-Writes resultN.eval next to each input and prints the same awk-style summary
-(dstc7avsd_eval.sh:31-32)."""
-
-import argparse
-import os
-import sys
-
-DEFAULT_MULTIREF = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)),
-    "dstc7avsd_eval", "data", "test_set4DSTC7-AVSD_multiref.json")
-REFERENCE_MULTIREF = "/root/reference/dstc7avsd_eval/data/test_set4DSTC7-AVSD_multiref.json"
-
-
-def main(argv=None):
-    p = argparse.ArgumentParser(description="DSTC7-AVSD objective evaluation")
-    p.add_argument("results", nargs="+", help="result JSON file(s)")
-    p.add_argument("--reference", default=None,
-                   help="COCO-format multi-reference ground truth JSON")
-    p.add_argument("--stopwords", "-s", default=None,
-                   help="stopword filter file (default: strip , and .)")
-    p.add_argument("--last", "-l", action="store_true", default=True,
-                   help="score only last answers per dialog (default true)")
-    p.add_argument("--all-turns", dest="last", action="store_false")
-    args = p.parse_args(argv)
-
-    multiref = args.reference
-    if multiref is None:
-        for cand in (DEFAULT_MULTIREF, REFERENCE_MULTIREF):
-            if os.path.exists(cand):
-                multiref = cand
-                break
-    if multiref is None:
-        p.error("no multi-reference ground truth found; pass --reference")
-
-    from bist_tpu.evalkit.harness import METRIC_ORDER, evaluate_result_file
-
-    for result in args.results:
-        print(f"Result: {result}")
-        corpus = evaluate_result_file(result, multiref,
-                                      stopwords_path=args.stopwords,
-                                      last_only=args.last)
-        print("--- summary ---")
-        for m in METRIC_ORDER:
-            print("%s: %.3f" % (m, corpus[m]))
-        print("---------------")
-
+"""Repo-root shim for bist_tpu.cli.evaluate — keeps the reference's flat CLI
+layout (`python evaluate.py ...`) working; the implementation lives in the
+package and is also installed as a console script (see pyproject.toml)."""
+from bist_tpu.cli.evaluate import *        # noqa: F401,F403
+from bist_tpu.cli.evaluate import main     # noqa: F401
 
 if __name__ == "__main__":
     main()
