@@ -41,6 +41,17 @@ def main():
     ap.add_argument("--t-clips", type=int, default=16)
     ap.add_argument("--feat-int8", type=int, default=0)
     ap.add_argument("--dv", type=int, default=2048)
+    ap.add_argument("--load-sweep", default="",
+                    help="comma list of offered loads (req/s).  OPEN-LOOP "
+                         "mode: requests arrive on a fixed clock regardless "
+                         "of completions (each submit on its own thread), so "
+                         "latency degrades honestly past the knee instead of "
+                         "the closed-loop clients self-throttling.  Reports "
+                         "achieved req/s + p50/p99 per offered load.  Use "
+                         "--dv 256 --t-clips 8 --feat-int8 1 to stay "
+                         "decode-bound on a tunnelled harness")
+    ap.add_argument("--sweep-requests", type=int, default=240,
+                    help="requests per offered-load point")
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
@@ -108,6 +119,48 @@ def main():
                                 pipeline_depth=depth)
         server.start()
         return server
+
+    if args.load_sweep:
+        # open-loop latency-vs-load curve on ONE responder (shared compiled
+        # programs; same-window points, like the interleaved A/Bs)
+        server = make_server(args.pipeline_depth)
+        n = args.sweep_requests
+        print(f"offered_rps  achieved_rps  p50_ms  p90_ms  p99_ms  "
+              f"batches  (open-loop, {n} reqs/point)")
+        for rate in [float(r) for r in args.load_sweep.split(",")]:
+            period = 1.0 / rate
+            lat = []
+            lock = threading.Lock()
+            b0 = server.stats["batches"]
+
+            def one(i):
+                t0 = time.perf_counter()
+                server.submit(qs[i % 4], history="a man is in a room",
+                              caption="a man does things",
+                              features=fts_pool[i % 4])
+                with lock:
+                    lat.append(time.perf_counter() - t0)
+
+            threads = []
+            t_start = time.perf_counter()
+            for i in range(n):
+                # fixed arrival clock: sleep to the schedule, not the work
+                dt = t_start + i * period - time.perf_counter()
+                if dt > 0:
+                    time.sleep(dt)
+                th = threading.Thread(target=one, args=(i,))
+                th.start()
+                threads.append(th)
+            for th in threads:
+                th.join()
+            wall = time.perf_counter() - t_start
+            lat.sort()
+            p = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)] * 1e3
+            print(f"{rate:10.1f}  {n / wall:11.1f}  {p(0.5):6.0f}  "
+                  f"{p(0.9):6.0f}  {p(0.99):6.0f}  "
+                  f"{server.stats['batches'] - b0:7d}", flush=True)
+        server.stop()
+        return
 
     if args.ab > 0:
         depths = (1, max(args.pipeline_depth, 2))
