@@ -28,4 +28,4 @@ Layer map (mirrors the reference's capability surface, see SURVEY.md):
                        reference train.py:96-99)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"  # kept in sync with pyproject.toml (test_packaging)

@@ -129,34 +129,47 @@ def main():
               f"batches  (open-loop, {n} reqs/point)")
         for rate in [float(r) for r in args.load_sweep.split(",")]:
             period = 1.0 / rate
-            lat = []
+            lat, errs = [], []
             lock = threading.Lock()
             b0 = server.stats["batches"]
 
-            def one(i):
-                t0 = time.perf_counter()
-                server.submit(qs[i % 4], history="a man is in a room",
-                              caption="a man does things",
-                              features=fts_pool[i % 4])
+            def one(i, t_sched):
+                # latency is measured from the SCHEDULED arrival, so lag in
+                # the arrival loop / thread spawn counts against the server
+                # (coordinated-omission-free — the point of open-loop mode)
+                try:
+                    server.submit(qs[i % 4], history="a man is in a room",
+                                  caption="a man does things",
+                                  features=fts_pool[i % 4])
+                except Exception as e:  # noqa: BLE001 — report, don't skew
+                    with lock:
+                        errs.append(repr(e))
+                    return
                 with lock:
-                    lat.append(time.perf_counter() - t0)
+                    lat.append(time.perf_counter() - t_sched)
 
             threads = []
             t_start = time.perf_counter()
             for i in range(n):
                 # fixed arrival clock: sleep to the schedule, not the work
-                dt = t_start + i * period - time.perf_counter()
+                t_sched = t_start + i * period
+                dt = t_sched - time.perf_counter()
                 if dt > 0:
                     time.sleep(dt)
-                th = threading.Thread(target=one, args=(i,))
+                th = threading.Thread(target=one, args=(i, t_sched))
                 th.start()
                 threads.append(th)
             for th in threads:
                 th.join()
             wall = time.perf_counter() - t_start
             lat.sort()
+            if errs:
+                print(f"{rate:10.1f}  {len(errs)}/{n} requests FAILED "
+                      f"(first: {errs[0][:120]})", flush=True)
+            if not lat:
+                continue
             p = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)] * 1e3
-            print(f"{rate:10.1f}  {n / wall:11.1f}  {p(0.5):6.0f}  "
+            print(f"{rate:10.1f}  {len(lat) / wall:11.1f}  {p(0.5):6.0f}  "
                   f"{p(0.9):6.0f}  {p(0.99):6.0f}  "
                   f"{server.stats['batches'] - b0:7d}", flush=True)
         server.stop()

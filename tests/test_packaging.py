@@ -44,6 +44,17 @@ def test_root_shims_reexport_package_main():
         assert shim.main is impl.main, name
 
 
+def test_version_in_sync():
+    try:
+        import tomllib
+    except ImportError:  # pragma: no cover — py<3.11
+        import tomli as tomllib
+    import bist_tpu
+
+    with open(os.path.join(REPO, "pyproject.toml"), "rb") as f:
+        assert tomllib.load(f)["project"]["version"] == bist_tpu.__version__
+
+
 def test_console_scripts_resolve():
     targets = _console_script_targets()
     assert len(targets) == len(ENTRY_MODULES)
