@@ -159,7 +159,21 @@ def beam_search(params, cfg: ModelConfig, batch: Batch,
             tokens, new_tok, l + 1, axis=2)
 
         # gather the KV cache rows of the chosen parents
+        def regroup_one(a):
+            # per-layer array (B·K, h, L, d_k) — the split cache layout
+            tail = a.shape[1:]
+            a = a.reshape((B, K) + tail)
+            if REGROUP_MM:
+                sel = jax.nn.one_hot(parent, K, dtype=a.dtype)
+                out = jnp.einsum("bij,bjf->bif", sel, a.reshape(B, K, -1))
+                return out.reshape((B * K,) + tail)
+            a = jnp.take_along_axis(a, parent[:, :, None, None, None],
+                                    axis=1)
+            return a.reshape((B * K,) + tail)
+
         def regroup(c):
+            if isinstance(c, tuple):
+                return tuple(regroup_one(a) for a in c)
             tail = c.shape[2:]
             c = c.reshape((cfg.nb_blocks, B, K) + tail)
             if REGROUP_MM:

@@ -230,9 +230,27 @@ class DecodeCtx(NamedTuple):
 
 
 class DecodeCache(NamedTuple):
-    """Per-layer self-attention KV cache, (layers, B, h, Lmax, d_k)."""
-    k: jnp.ndarray
-    v: jnp.ndarray
+    """Per-layer self-attention KV cache.
+
+    Two storage layouts, selected by SPLIT_CACHE (numerics identical —
+    the per-layer arithmetic never crosses layers):
+
+      * split (BIST_SPLIT_CACHE=1): k/v are TUPLES of per-layer
+        (B, h, Lmax, d_k) arrays.  Motivation: the round-4 device-timeline
+        profile (scripts/decode_profile.py) showed the stacked layout
+        costing two whole-cache data-formatting op families per scan
+        iteration — an unstack (slice_bitcast over (layers, B·K, h, L,
+        d_k), ~62 us/iter) and (layers,B,K,h,L,d_k) layout-change copies
+        after the beam regroup (~57 us each) — pure copies a split layout
+        never asks for.
+      * stacked (BIST_SPLIT_CACHE=0): single (layers, B, h, Lmax, d_k)
+        arrays, the pre-round-4 layout.
+
+    The default follows the measured winner of the decider A/B
+    (`scripts/bench_pack_ab.py --what cachelayout`; BENCH.md round 4).
+    """
+    k: Any
+    v: Any
 
 
 def _cross_kv(p_attn: Params, h: int, memory: jnp.ndarray):
@@ -350,11 +368,19 @@ def precompute_decode_ctx(params: Params, cfg: ModelConfig,
     return DecodeCtx(layer_kv=tuple(layer_kv), masks=masks, ptr_src=ptr_src)
 
 
+# Cache storage layout, read at trace time — see DecodeCache.
+SPLIT_CACHE = _os.environ.get("BIST_SPLIT_CACHE", "0") != "0"
+
+
 def init_cache(cfg: ModelConfig, batch_size: int, max_len: int,
                dtype=jnp.float32) -> DecodeCache:
-    shape = (cfg.nb_blocks, batch_size, cfg.att_h, max_len,
-             cfg.d_model // cfg.att_h)
-    return DecodeCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+    shape = (batch_size, cfg.att_h, max_len, cfg.d_model // cfg.att_h)
+    if SPLIT_CACHE:
+        return DecodeCache(
+            k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.nb_blocks)),
+            v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.nb_blocks)))
+    return DecodeCache(k=jnp.zeros((cfg.nb_blocks,) + shape, dtype),
+                       v=jnp.zeros((cfg.nb_blocks,) + shape, dtype))
 
 
 def _mha_cached_self(p_attn: Params, h: int, x: jnp.ndarray,
@@ -506,5 +532,8 @@ def decode_step(params: Params, cfg: ModelConfig, ctx: DecodeCtx,
         params["gen"], cfg, params["embed"]["lut"],
         decoded.reshape(B, beam, -1), encoded_tgt.reshape(B, beam, -1),
         ctx.ptr_src)                                          # (B, beam, V)
-    return logp.reshape(B * beam, -1), \
-        DecodeCache(k=jnp.stack(new_k), v=jnp.stack(new_v))
+    if isinstance(cache.k, tuple):         # split layout: no re-stack
+        new_cache = DecodeCache(k=tuple(new_k), v=tuple(new_v))
+    else:
+        new_cache = DecodeCache(k=jnp.stack(new_k), v=jnp.stack(new_v))
+    return logp.reshape(B * beam, -1), new_cache

@@ -34,7 +34,7 @@ def main():
                              "cachedtype", "unroll", "computedtype",
                              "batchsize", "bdcross", "regroupmm",
                              "decodeops", "earlyexit", "encodedtype",
-                             "ctxshare", "both"])
+                             "ctxshare", "cachelayout", "both"])
     ap.add_argument("--batch-b", type=int, default=96,
                     help="the B side of --what batchsize (decode-throughput "
                          "A/B of two batch sizes in one tunnel window)")
@@ -363,6 +363,17 @@ def main():
 
         flag_chain_ab(lambda v: setattr(beam_mod, "REGROUP_MM", v),
                       "regroup-mm", "gather")
+
+    if args.what == "cachelayout":
+        # KV-cache storage: per-layer tuples vs one stacked (layers, ...)
+        # array (models/model.py SPLIT_CACHE).  Motivated by the round-4
+        # device-timeline profile: the stacked layout pays an unstack +
+        # whole-cache layout-change copies every scan iteration
+        # (scripts/decode_profile.py; BENCH.md round 4 session 12).
+        from bist_tpu.models import model as model_mod
+
+        flag_chain_ab(lambda v: setattr(model_mod, "SPLIT_CACHE", v),
+                      "split-cache", "stacked-cache")
 
     if args.what == "decodeops":
         # ISOLATED op-level costs of one decode-step cross-attention at

@@ -436,3 +436,31 @@ def test_bd_cross_attention_matches(rng, monkeypatch):
     monkeypatch.setattr(model_mod, "BD_CROSS", False)
     g_base = jax.jit(lambda p, b: gd(p, cfg, b, 6))(params, batch)
     np.testing.assert_array_equal(np.asarray(g_base), np.asarray(g_bd))
+
+
+@pytest.mark.parametrize("cache_dtype", ["float32", "bfloat16"])
+def test_split_cache_identical(rng, monkeypatch, cache_dtype):
+    """The per-layer (split) KV-cache layout must be BIT-identical to the
+    stacked (layers, B, h, L, d_k) layout on beam, greedy and sampling
+    decodes — same per-layer arithmetic, different carry pytree only
+    (models/model.py SPLIT_CACHE; profile-motivated, BENCH.md round 4)."""
+    import bist_tpu.models.model as model_mod
+    from bist_tpu.decode.sample import sample_decode
+
+    cfg = tiny_cfg()
+    params = init_model(jax.random.PRNGKey(7), cfg)
+    batch = tiny_batch(rng, B=3)
+    gcfg = GenerateConfig(maxlen=6, beam=3, penalty=1.0, nbest=3,
+                          cache_dtype=cache_dtype)
+
+    outs = {}
+    for split in (False, True):
+        monkeypatch.setattr(model_mod, "SPLIT_CACHE", split)
+        r = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))(params, batch)
+        g = jax.jit(lambda p, b: greedy_decode(p, cfg, b, 6))(params, batch)
+        s = sample_decode(params, cfg, batch, 6, key=jax.random.PRNGKey(1),
+                          top_k=5)
+        outs[split] = (np.asarray(r.tokens), np.asarray(r.scores),
+                       np.asarray(r.lengths), np.asarray(g), np.asarray(s))
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(a, b)
