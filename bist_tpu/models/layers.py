@@ -298,6 +298,48 @@ def _flash_path(Q, K, V, mask, h):
 from bist_tpu.ops.dispatch import FLASH_MIN_KV
 
 
+# Heads-LAST attention layout (BIST_HEADS_LAST, read at trace time like
+# PACK_PROJECTIONS above): keep q/k/v as (..., L, h, d_k) — a FREE reshape
+# of the projection output — and put the head axis in the einsum batch dims
+# instead of moveaxis-ing it in front of L.  Motivation: the round-4 device
+# timeline (scripts/decode_profile.py) showed the split_heads moveaxis
+# materialising as real layout-change copies at ~80 GB/s (six 104 us
+# (B,G,h,L,d_k) copies per decode-ctx precompute = ~6% of the beam call).
+# Numerically identical contractions (same dot products, f32 accumulate);
+# equality-tested in tests/test_model_forward.py.
+HEADS_LAST = _os.environ.get("BIST_HEADS_LAST", "0") != "0"
+
+
+def _mha_heads_last(p: Params, h: int, query, key, value, mask,
+                    drop_rate, rngs, return_attn):
+    """mha body with the head axis kept LAST-but-one end to end.
+
+    Q/K/V stay (..., L, h, d_k) (reshape of the projection — no transpose);
+    scores einsum "...qhd,...khd->...hqk" puts heads where the mask/softmax
+    code expects them without ever materialising a transposed q/k/v; the
+    context einsum returns (..., q, h, d) so merge is again a free reshape."""
+    def proj_heads(w, x):
+        y = linear(w, x)
+        *lead, L, d = y.shape
+        return y.reshape(*lead, L, h, d // h)
+
+    Q, K, V = (proj_heads(p["wq"], query), proj_heads(p["wk"], key),
+               proj_heads(p["wv"], value))
+    d_k = Q.shape[-1]
+    scores = jnp.einsum("...qhd,...khd->...hqk", Q, K,
+                        preferred_element_type=jnp.float32) / math.sqrt(d_k)
+    if mask is not None:
+        scores = jnp.where(mask[..., None, :, :] == 0, NEG_INF, scores)
+    attn = jax.nn.softmax(scores, axis=-1).astype(Q.dtype)
+    attn = dropout(attn, drop_rate, rngs)
+    x = jnp.einsum("...hqk,...khd->...qhd", attn, V)
+    *lead, L, hh, dk = x.shape
+    out = linear(p["wo"], x.reshape(*lead, L, hh * dk))
+    if return_attn:
+        return out, attn
+    return out
+
+
 def mha(p: Params, h: int, query: jnp.ndarray, key: jnp.ndarray,
         value: jnp.ndarray, mask: Optional[jnp.ndarray] = None, *,
         drop_rate: float = 0.1, rngs: Optional[RngGen] = None,
@@ -312,6 +354,17 @@ def mha(p: Params, h: int, query: jnp.ndarray, key: jnp.ndarray,
     mask: broadcastable to scores' (..., 1, Lq, Lk); positions where mask == 0
     get -1e9 (modules.py:58-59).  The extra `1` head axis mirrors the
     reference's mask.unsqueeze(1) (modules.py:83-85)."""
+    if HEADS_LAST:
+        # same flash-dispatch predicate as below, evaluated on the logical
+        # shapes (Lk = key.shape[-2], d_k from the projection width); the
+        # flash path keeps the split-heads layout (it flattens anyway)
+        d_k = p["wq"]["w"].shape[1] // h
+        use_flash = (allow_flash and not return_attn and rngs is None
+                     and key.shape[-2] >= FLASH_MIN_KV and d_k >= 64
+                     and (mask is None or mask.shape[-2] == 1))
+        if not use_flash:
+            return _mha_heads_last(p, h, query, key, value, mask,
+                                   drop_rate, rngs, return_attn)
     if PACK_PROJECTIONS and query is key and key is value:
         # self-attention: one packed QKV projection (same input object)
         q_p, k_p, v_p = linear_packed((p["wq"], p["wk"], p["wv"]), query)

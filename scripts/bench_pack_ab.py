@@ -34,7 +34,7 @@ def main():
                              "cachedtype", "unroll", "computedtype",
                              "batchsize", "bdcross", "regroupmm",
                              "decodeops", "earlyexit", "encodedtype",
-                             "ctxshare", "cachelayout", "both"])
+                             "ctxshare", "cachelayout", "headslast", "both"])
     ap.add_argument("--batch-b", type=int, default=96,
                     help="the B side of --what batchsize (decode-throughput "
                          "A/B of two batch sizes in one tunnel window)")
@@ -374,6 +374,32 @@ def main():
 
         flag_chain_ab(lambda v: setattr(model_mod, "SPLIT_CACHE", v),
                       "split-cache", "stacked-cache")
+
+    if args.what == "headslast":
+        # Heads-LAST attention layout (layers.HEADS_LAST): head axis stays
+        # (..., L, h, d_k) — free reshape — instead of the split_heads
+        # moveaxis that the round-4 device timeline showed materialising as
+        # ~80 GB/s layout-change copies in the decode-ctx precompute
+        # (scripts/decode_profile.py; BENCH.md round 4).  A/Bs the full
+        # decode chain (ctx share ~32%) AND the train step (mha everywhere).
+        flag_chain_ab(lambda v: setattr(layers, "HEADS_LAST", v),
+                      "heads-last", "split-heads")
+
+        def build_hl_train(v: bool):
+            layers.HEADS_LAST = v
+            return build_train_chain(False)
+
+        ch_a, ch_b = build_hl_train(True), build_hl_train(False)
+        a_n, b_n = interleave(lambda: float(ch_a(state, batch, key, n=n_it)),
+                              lambda: float(ch_b(state, batch, key, n=n_it)),
+                              args.reps)
+        a_2n, b_2n = interleave(
+            lambda: float(ch_a(state, batch, key, n=2 * n_it)),
+            lambda: float(ch_b(state, batch, key, n=2 * n_it)), args.reps)
+        a = max(a_2n - a_n, 0.0) / n_it * 1e3
+        b = max(b_2n - b_n, 0.0) / n_it * 1e3
+        print(f"train step  heads-last: {a:.2f} ms  split-heads: {b:.2f} ms  "
+              f"(heads-last speedup {b / max(a, 1e-9):.3f}x)")
 
     if args.what == "decodeops":
         # ISOLATED op-level costs of one decode-step cross-attention at

@@ -1,0 +1,87 @@
+"""Heads-last attention layout (layers.HEADS_LAST) must be numerically
+equivalent to the split-heads baseline: the head axis moves from an explicit
+moveaxis (a materialised layout-change copy on TPU — the round-4 device
+timeline measured six 104 us (B,G,h,L,d_k) copies per decode-ctx precompute,
+scripts/decode_profile.py) into the einsum batch dims, leaving every dot
+product and the softmax unchanged.  Contraction grouping differs, so
+equality is to f32 epsilon, not bitwise."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bist_tpu.models import layers
+from bist_tpu.models.layers import mha, mha_init
+
+
+@pytest.fixture
+def restore_flag():
+    old = layers.HEADS_LAST
+    yield
+    layers.HEADS_LAST = old
+
+
+def _mha_both(p, h, q, k, v, mask, **kw):
+    outs = {}
+    for hl in (True, False):
+        layers.HEADS_LAST = hl
+        outs[hl] = mha(p, h, q, k, v, mask, drop_rate=0.0, rngs=None, **kw)
+    return outs
+
+
+def test_self_attention_heads_last(restore_flag):
+    p = mha_init(jax.random.PRNGKey(0), 4, 64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 64))
+    mask = jnp.ones((2, 1, 7), jnp.int32).at[1, 0, 5:].set(0)
+    outs = _mha_both(p, 4, x, x, x, mask)
+    np.testing.assert_allclose(np.asarray(outs[True]),
+                               np.asarray(outs[False]), atol=1e-6)
+
+
+def test_grouped_cross_attention_heads_last(restore_flag):
+    """The hop-1 shape: query (B,1,Lq,D) broadcast against grouped
+    memories (B,G,Lk,D) — the call that produced the measured copies."""
+    p = mha_init(jax.random.PRNGKey(2), 8, 64)
+    q = jax.random.normal(jax.random.PRNGKey(3), (2, 1, 5, 64))
+    kv = jax.random.normal(jax.random.PRNGKey(4), (2, 6, 9, 64))
+    mask = jnp.ones((2, 1, 1, 9), jnp.int32).at[1, ..., 7:].set(0)
+    outs = _mha_both(p, 8, q, kv, kv, mask)
+    np.testing.assert_allclose(np.asarray(outs[True]),
+                               np.asarray(outs[False]), atol=1e-6)
+
+
+def test_return_attn_heads_last(restore_flag):
+    p = mha_init(jax.random.PRNGKey(5), 4, 32)
+    q = jax.random.normal(jax.random.PRNGKey(6), (3, 4, 32))
+    kv = jax.random.normal(jax.random.PRNGKey(7), (3, 6, 32))
+    outs = _mha_both(p, 4, q, kv, kv, None, return_attn=True)
+    np.testing.assert_allclose(np.asarray(outs[True][0]),
+                               np.asarray(outs[False][0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[True][1]),
+                               np.asarray(outs[False][1]), atol=1e-6)
+
+
+def test_full_model_beam_heads_last(restore_flag):
+    """End to end: forward activations to f32 epsilon, beam tokens equal."""
+    from tests.test_beam import tiny_batch, tiny_cfg
+    from bist_tpu.config import GenerateConfig
+    from bist_tpu.decode.beam import beam_search
+    from bist_tpu.models.model import apply_model, init_model
+
+    cfg = tiny_cfg()
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    batch = tiny_batch(np.random.default_rng(0), B=3)
+    gcfg = GenerateConfig(maxlen=6, beam=3, penalty=1.0, nbest=3)
+
+    outs = {}
+    for hl in (False, True):
+        layers.HEADS_LAST = hl
+        ft = jax.jit(lambda p, b: apply_model(p, cfg, b, None))(params, batch)
+        r = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))(params, batch)
+        outs[hl] = (np.asarray(ft["decoded_text"]), np.asarray(r.tokens),
+                    np.asarray(r.scores))
+    np.testing.assert_allclose(outs[False][0], outs[True][0], atol=2e-5)
+    np.testing.assert_array_equal(outs[False][1], outs[True][1])
+    np.testing.assert_allclose(outs[False][2], outs[True][2], atol=2e-5)
