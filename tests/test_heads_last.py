@@ -63,6 +63,40 @@ def test_return_attn_heads_last(restore_flag):
                                np.asarray(outs[False][1]), atol=1e-6)
 
 
+def test_heads_last_with_split_cache(restore_flag):
+    """Both profile-motivated layout flags TOGETHER (heads-last attention +
+    per-layer split KV cache) vs both off: beam tokens identical, scores to
+    f32 epsilon.  Guards the combined-default flip — the two options touch
+    the same decode step and must compose."""
+    from tests.test_beam import tiny_batch, tiny_cfg
+    from bist_tpu.config import GenerateConfig
+    from bist_tpu.decode.beam import beam_search
+    from bist_tpu.models import model as model_mod
+    from bist_tpu.models.model import init_model
+
+    cfg = tiny_cfg()
+    params = init_model(jax.random.PRNGKey(11), cfg)
+    batch = tiny_batch(np.random.default_rng(2), B=3)
+    gcfg = GenerateConfig(maxlen=6, beam=3, penalty=1.0, nbest=3,
+                          cache_dtype="bfloat16")
+
+    old_split = model_mod.SPLIT_CACHE
+    try:
+        outs = {}
+        for on in (False, True):
+            layers.HEADS_LAST = on
+            model_mod.SPLIT_CACHE = on
+            r = jax.jit(lambda p, b: beam_search(p, cfg, b, gcfg))(params,
+                                                                   batch)
+            outs[on] = (np.asarray(r.tokens), np.asarray(r.scores),
+                        np.asarray(r.lengths))
+    finally:
+        model_mod.SPLIT_CACHE = old_split
+    np.testing.assert_array_equal(outs[False][0], outs[True][0])
+    np.testing.assert_allclose(outs[False][1], outs[True][1], atol=2e-5)
+    np.testing.assert_array_equal(outs[False][2], outs[True][2])
+
+
 def test_full_model_beam_heads_last(restore_flag):
     """End to end: forward activations to f32 epsilon, beam tokens equal."""
     from tests.test_beam import tiny_batch, tiny_cfg
