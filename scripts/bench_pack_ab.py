@@ -34,7 +34,8 @@ def main():
                              "cachedtype", "unroll", "computedtype",
                              "batchsize", "bdcross", "regroupmm",
                              "decodeops", "earlyexit", "encodedtype",
-                             "ctxshare", "cachelayout", "headslast", "both"])
+                             "ctxshare", "cachelayout", "headslast",
+                             "layoutcombo", "both"])
     ap.add_argument("--batch-b", type=int, default=96,
                     help="the B side of --what batchsize (decode-throughput "
                          "A/B of two batch sizes in one tunnel window)")
@@ -374,6 +375,19 @@ def main():
 
         flag_chain_ab(lambda v: setattr(model_mod, "SPLIT_CACHE", v),
                       "split-cache", "stacked-cache")
+
+    if args.what == "layoutcombo":
+        # BOTH profile-motivated layout options together (heads-last
+        # attention + per-layer split KV cache) vs both off — the A/B that
+        # decides the combined default flip (the individual deciders
+        # attribute the win; tests/test_heads_last.py guards composition).
+        from bist_tpu.models import model as model_mod
+
+        def set_both(v: bool):
+            layers.HEADS_LAST = v
+            model_mod.SPLIT_CACHE = v
+
+        flag_chain_ab(set_both, "both-layouts", "baseline")
 
     if args.what == "headslast":
         # Heads-LAST attention layout (layers.HEADS_LAST): head axis stays
