@@ -298,7 +298,9 @@ def _flash_path(Q, K, V, mask, h):
 from bist_tpu.ops.dispatch import FLASH_MIN_KV
 
 
-# Heads-LAST attention layout (BIST_HEADS_LAST, read at trace time like
+# Heads-LAST attention layout (BIST_HEADS_LAST, default ON — the measured
+# decider winner: 1.087x alone, 1.210x combined with the split KV cache,
+# v5e --iters 8 --reps 7, BENCH.md round 4; read at trace time like
 # PACK_PROJECTIONS above): keep q/k/v as (..., L, h, d_k) — a FREE reshape
 # of the projection output — and put the head axis in the einsum batch dims
 # instead of moveaxis-ing it in front of L.  Motivation: the round-4 device
@@ -307,7 +309,7 @@ from bist_tpu.ops.dispatch import FLASH_MIN_KV
 # (B,G,h,L,d_k) copies per decode-ctx precompute = ~6% of the beam call).
 # Numerically identical contractions (same dot products, f32 accumulate);
 # equality-tested in tests/test_model_forward.py.
-HEADS_LAST = _os.environ.get("BIST_HEADS_LAST", "0") != "0"
+HEADS_LAST = _os.environ.get("BIST_HEADS_LAST", "1") != "0"
 
 
 def _mha_heads_last(p: Params, h: int, query, key, value, mask,

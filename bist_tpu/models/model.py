@@ -235,7 +235,7 @@ class DecodeCache(NamedTuple):
     Two storage layouts, selected by SPLIT_CACHE (numerics identical —
     the per-layer arithmetic never crosses layers):
 
-      * split (BIST_SPLIT_CACHE=1): k/v are TUPLES of per-layer
+      * split (BIST_SPLIT_CACHE=1, the default): k/v are TUPLES of per-layer
         (B, h, Lmax, d_k) arrays.  Motivation: the round-4 device-timeline
         profile (scripts/decode_profile.py) showed the stacked layout
         costing two whole-cache data-formatting op families per scan
@@ -247,7 +247,8 @@ class DecodeCache(NamedTuple):
         arrays, the pre-round-4 layout.
 
     The default follows the measured winner of the decider A/B
-    (`scripts/bench_pack_ab.py --what cachelayout`; BENCH.md round 4).
+    (`scripts/bench_pack_ab.py --what cachelayout`, v5e --iters 8 --reps 7:
+    split 1.103x alone, 1.210x combined with heads-last; BENCH.md round 4).
     """
     k: Any
     v: Any
@@ -369,7 +370,7 @@ def precompute_decode_ctx(params: Params, cfg: ModelConfig,
 
 
 # Cache storage layout, read at trace time — see DecodeCache.
-SPLIT_CACHE = _os.environ.get("BIST_SPLIT_CACHE", "0") != "0"
+SPLIT_CACHE = _os.environ.get("BIST_SPLIT_CACHE", "1") != "0"
 
 
 def init_cache(cfg: ModelConfig, batch_size: int, max_len: int,

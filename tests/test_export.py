@@ -245,8 +245,11 @@ def test_serve_cli_export_bundle(setup, tmp_path):
 
 def test_dp_sharded_bundle(setup, tmp_path):
     """dp=2 bundles bake the DataParallel layout (rows on a ('data',) mesh,
-    params replicated): results equal the single-device jit bitwise, and
-    the bundle Responder serves over 2 devices."""
+    params replicated): tokens equal the single-device jit bitwise, scores
+    to ulp tolerance (the AOT CPU compile targets different machine
+    features than the live jit, so fused-FMA grouping can differ by 1 ulp
+    under the heads-last einsums), and the bundle Responder serves over 2
+    devices."""
     from bist_tpu.decode.beam import beam_search
     from bist_tpu.serving import Request
 
@@ -267,8 +270,8 @@ def test_dp_sharded_bundle(setup, tmp_path):
         params, concrete_batch(geoms[0], cfg))
     np.testing.assert_array_equal(np.asarray(live.tokens),
                                   np.asarray(aot.tokens))
-    np.testing.assert_array_equal(np.asarray(live.scores),
-                                  np.asarray(aot.scores))
+    np.testing.assert_allclose(np.asarray(live.scores),
+                               np.asarray(aot.scores), rtol=1e-6, atol=2e-6)
 
     # end to end through the Responder (pad + shard + dispatch + detok)
     responder.warmup(feature_shape=(4, cfg.ft_sizes[0]), t_clips=4, lens=(8,))
