@@ -35,7 +35,7 @@ def main():
                              "batchsize", "bdcross", "regroupmm",
                              "decodeops", "earlyexit", "encodedtype",
                              "ctxshare", "cachelayout", "headslast",
-                             "layoutcombo", "both"])
+                             "trainheads", "layoutcombo", "both"])
     ap.add_argument("--batch-b", type=int, default=96,
                     help="the B side of --what batchsize (decode-throughput "
                          "A/B of two batch sizes in one tunnel window)")
@@ -399,6 +399,10 @@ def main():
         flag_chain_ab(lambda v: setattr(layers, "HEADS_LAST", v),
                       "heads-last", "split-heads")
 
+    if args.what in ("headslast", "trainheads"):
+        # trainheads = the TRAIN-STEP half alone (the r4i session died
+        # before this line printed; re-running just this costs one decider
+        # window instead of two)
         def build_hl_train(v: bool):
             layers.HEADS_LAST = v
             return build_train_chain(False)
