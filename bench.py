@@ -16,13 +16,14 @@ lax.scan of beam batches): this harness reaches its TPU through a tunnel
 whose per-call dispatch overhead would otherwise leak into the measurement
 (mostly pipelined by async dispatch; measured +5% at B=64, larger at small
 batches); a production host dispatches in microseconds and the chip-side
-work per response is identical.  BENCH_CHAIN=0 restores per-call dispatch.  Inputs are real AVSD test-set turns
-(vendored dstc7avsd_eval/data/test_set4DSTC7-AVSD.json — real question /
-history / caption lengths) with randomly initialised weights and random
-ResNeXt-grid features in bfloat16 (quality is covered by the metric goldens
-and training tests, not this benchmark).  Everything is padded to ONE static
-shape so the search compiles exactly once (jit cache), and host→device
-feature transfers overlap device compute via async dispatch.
+work per response is identical.  BENCH_CHAIN=0 restores per-call dispatch.
+Inputs are real AVSD test-set turns (vendored
+dstc7avsd_eval/data/test_set4DSTC7-AVSD.json — real question / history /
+caption lengths) with randomly initialised weights and random ResNeXt-grid
+features in bfloat16 (quality is covered by the metric goldens and training
+tests, not this benchmark).  Everything is padded to ONE static shape so the
+search compiles exactly once (jit cache), and host→device feature transfers
+overlap device compute via async dispatch.
 
 vs_baseline: measured against REFERENCE_GPU_RESP_PER_SEC = 2.0, a documented
 estimate of the reference's single-GPU generation throughput (batch-1 beam-5
@@ -31,18 +32,37 @@ vs_baseline ≥ 10 means target met.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (+
 "value_per_call_lower_bound", a short per-call-dispatch probe on the dominant
-bucket, when chained mode is on — ADVICE r2 #4: both dispatch bases explicit).
+bucket, when chained mode is on — ADVICE r2 #4: both dispatch bases explicit;
++ "tier": "full" | "quick").
 
-Resilience (round 4): the TPU tunnel this harness runs over occasionally
-fails backend init or wedges for minutes (CLAUDE.md; round 3's driver capture
-died on the FIRST device op with "Unable to initialize backend 'axon'" and
-recorded rc=1/no JSON).  `python bench.py` therefore runs as a LAUNCHER: it
-health-checks the backend in a throwaway subprocess (60s-timeout trivial
-matmul, retried with backoff), runs the actual benchmark as a child process
-(`bench.py --run`) with a per-attempt timeout, retries on failure, and ALWAYS
-prints one well-formed JSON line — with an "error" field instead of dying —
-so the capture parses no matter what the tunnel does.  Knobs:
-BENCH_ATTEMPTS (3), BENCH_ATTEMPT_TIMEOUT (2400s), BENCH_DEADLINE (5400s).
+Resilience (rounds 4-5): the TPU tunnel this harness runs over occasionally
+fails backend init or wedges for minutes (CLAUDE.md; the round-3 driver
+capture died on the FIRST device op with rc=1/no JSON, and the round-4
+capture was killed by the DRIVER's timeout while the launcher was still
+health-probing a wedge, rc=124).  `python bench.py` therefore runs as a
+LAUNCHER: it health-checks the backend in a throwaway subprocess
+(60s-timeout trivial matmul, retried with backoff), runs the actual
+benchmark as a child process (`bench.py --run`) with a per-attempt timeout,
+and ALWAYS prints one well-formed JSON line — with an "error" field instead
+of dying — so the capture parses no matter what the tunnel does.
+
+TWO protocol tiers (VERDICT r4 #1):
+  full  — the multi-bucket 16-batch schedule above (~3-6 min of healthy
+          tunnel: 4 T-bucket stagings + per-(bucket, chain-length) compiles
+          + the per-call probe).
+  quick — fallback when full attempts fail: the single DOMINANT T bucket
+          only, one staged batch, one chained program (fixed chain length so
+          the persistent XLA cache prewarmed by a prior run hits), no
+          per-call probe.  Needs ~60-90 s of healthy tunnel with a warm
+          cache; a short heal window late in the capture still yields a
+          real (honestly-labelled) number instead of 0.0.
+The launcher tries full once (when the remaining deadline affords it plus a
+reserved quick slot), then quick until the deadline.  The deadline default is
+calibrated UNDER any plausible driver timeout (1500 s) so the launcher's own
+JSON — success or error — always lands with rc=0 before the driver kills it
+(round 4's failure mode).  Knobs: BENCH_ATTEMPTS (3), BENCH_ATTEMPT_TIMEOUT
+(700 s, full tier), BENCH_QUICK_TIMEOUT (420 s), BENCH_DEADLINE (1500 s),
+BENCH_TIER=quick forces quick-only.
 """
 
 import json
@@ -60,6 +80,12 @@ HEALTH_SRC = (
     "x = jnp.ones((256, 256), jnp.bfloat16);"
     "print(float((x @ x).sum()))"
 )
+
+# quick-tier chain length: FIXED (not weather-tuned) so the compiled chained
+# program is byte-identical across runs and the persistent XLA cache
+# prewarmed by rehearsals/prior attempts hits (seconds instead of minutes)
+QUICK_CHAIN = 32
+QUICK_REPS = 2
 
 
 def _health_check(timeout=90):
@@ -95,12 +121,38 @@ def _fail_line(err):
     })
 
 
+def _plan_attempt(attempt, remaining, full_timeout, quick_timeout,
+                  forced_tier=""):
+    """Pick (tier, budget_seconds) for this attempt, or (None, 0) to stop.
+
+    Policy: the FIRST attempt runs the full protocol iff the remaining
+    deadline affords the full timeout PLUS a reserved quick slot (so a full
+    failure still leaves room for the fallback); everything else is quick.
+    Pure function — unit-tested in tests/test_bench_launcher.py."""
+    margin = 90.0          # JSON-emission + teardown headroom
+    if remaining < 60 + margin:
+        return None, 0.0
+    quick_reserve = quick_timeout + margin
+    if forced_tier == "quick":
+        tier = "quick"
+    elif forced_tier == "full":
+        tier = "full"
+    else:
+        tier = ("full" if attempt == 1
+                and remaining > full_timeout + quick_reserve else "quick")
+    budget = full_timeout if tier == "full" else quick_timeout
+    budget = min(budget, remaining - margin)
+    return tier, max(60.0, budget)
+
+
 def launcher():
     import signal
 
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
-    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "2400"))
-    deadline = time.time() + float(os.environ.get("BENCH_DEADLINE", "5400"))
+    full_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "700"))
+    quick_timeout = float(os.environ.get("BENCH_QUICK_TIMEOUT", "420"))
+    forced_tier = os.environ.get("BENCH_TIER", "")
+    deadline = time.time() + float(os.environ.get("BENCH_DEADLINE", "1500"))
     last_err = ""
 
     # If the CALLER times us out (SIGTERM) mid-retry, still emit the one
@@ -122,45 +174,63 @@ def launcher():
     # readiness marker for harnesses that SIGTERM the launcher (the JSON-on-
     # kill guarantee only holds once the handler above is installed)
     print("[bench] launcher ready", file=sys.stderr, flush=True)
+    # test-only hook: substitute the benchmark child with an injected
+    # `python -c` snippet (argv[1] = tier) so the full→quick fallback wiring
+    # is testable without an accelerator
+    test_child = os.environ.get("BENCH_TEST_CHILD", "")
+    skip_health = os.environ.get("BENCH_SKIP_HEALTH", "") == "1"
+
     for attempt in range(1, attempts + 1):
         # wait until the backend passes a health check (wedges self-heal in
-        # minutes; backend-init failures are transient)
-        backoff = 60
-        for probe in range(8):
-            ok, err = _health_check()
-            if ok:
+        # minutes; backend-init failures are transient).  Backoff stays short
+        # (45→120 s) so a late heal still leaves room for a quick attempt.
+        if not skip_health:
+            backoff = 45
+            while True:
+                ok, err = _health_check(timeout=min(
+                    90, max(30, deadline - time.time() - 120)))
+                if ok:
+                    break
+                last_err = err
+                print(f"[bench] health check failed; retrying in {backoff}s: "
+                      f"{err.splitlines()[-1] if err else '?'}",
+                      file=sys.stderr)
+                if time.time() + backoff > deadline - 180:
+                    break
+                time.sleep(backoff)
+                backoff = min(backoff * 2, 120)
+            if not ok:
                 break
-            last_err = err
-            print(f"[bench] health check {probe + 1} failed; retrying in "
-                  f"{backoff}s: {err.splitlines()[-1] if err else '?'}",
-                  file=sys.stderr)
-            if time.time() + backoff > deadline:
-                break
-            time.sleep(backoff)
-            backoff = min(backoff * 2, 240)
-        else:
-            ok = False
-        if not ok:
+        tier, budget = _plan_attempt(attempt, deadline - time.time(),
+                                     full_timeout, quick_timeout, forced_tier)
+        if tier is None:
             break
-        budget = min(attempt_timeout, max(60.0, deadline - time.time()))
+        if test_child:
+            cmd = [sys.executable, "-c", test_child, tier]
+        else:
+            cmd = [sys.executable, __file__, "--run"]
+            if tier == "quick":
+                cmd.append("--quick")
+        print(f"[bench] attempt {attempt}: tier={tier} budget={budget:.0f}s",
+              file=sys.stderr, flush=True)
         try:
-            r = subprocess.run([sys.executable, __file__, "--run"], cwd=HERE,
-                               capture_output=True, text=True, timeout=budget)
+            r = subprocess.run(cmd, cwd=HERE, capture_output=True, text=True,
+                               timeout=budget)
             sys.stderr.write(r.stderr[-8000:])
             parsed = _extract_json_line(r.stdout)
             if r.returncode == 0 and parsed is not None:
                 emit(json.dumps(parsed))
                 return 0
-            last_err = (f"attempt {attempt}: rc={r.returncode}, "
+            last_err = (f"attempt {attempt} ({tier}): rc={r.returncode}, "
                         f"stdout tail: {r.stdout[-500:]!r}, "
                         f"stderr tail: {r.stderr[-1500:]!r}")
         except subprocess.TimeoutExpired:
-            last_err = (f"attempt {attempt}: benchmark child timed out "
-                        f"after {budget:.0f}s")
+            last_err = (f"attempt {attempt} ({tier}): benchmark child timed "
+                        f"out after {budget:.0f}s")
         print(f"[bench] {last_err[:300]}", file=sys.stderr)
-        if time.time() > deadline - 120:
+        if time.time() > deadline - 150:
             break
-        time.sleep(60)
+        time.sleep(float(os.environ.get("BENCH_RETRY_SLEEP", "30")))
     # final failure: still ONE parseable JSON line (the round-3 capture
     # failed precisely because a raw traceback replaced this line)
     emit(_fail_line(last_err))
@@ -172,7 +242,7 @@ LQ, LH, LC, T_CLIPS, S = 32, 256, 64, 40, 16
 DV = 2048
 
 
-def main():
+def main(quick=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -182,7 +252,8 @@ def main():
     # hits the on-disk executable (8.96 s cold -> 1.61 s warm, B=8 probe), so
     # a prewarmed cache cuts this child's remote-compile warmup to seconds —
     # less time on the tunnel = less exposure to the wedge failure mode the
-    # launcher exists to ride out.
+    # launcher exists to ride out.  The QUICK tier depends on this: its one
+    # program uses a fixed chain length precisely so reruns are cache hits.
     from bist_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -266,11 +337,15 @@ def main():
     from collections import Counter, OrderedDict
 
     bucket_count = Counter(t for _, t in all_batches)
+    total = sum(bucket_count.values())
+    t_main = max(bucket_count, key=lambda t: bucket_count[t])
+
     rep: "OrderedDict[int, Batch]" = OrderedDict()
     for rows, t_pad in all_batches:
         if t_pad not in rep:
+            if quick and t_pad != t_main:
+                continue          # quick tier: the dominant bucket ONLY
             rep[t_pad] = make_batch_rows(rows, t_pad)
-    total = sum(bucket_count.values())
     schedule = []
     for t_pad in rep:
         k = max(1, round(n_batches * bucket_count[t_pad] / total))
@@ -307,7 +382,7 @@ def main():
 
     sched_count = _C(schedule)
 
-    if chained:
+    if chained or quick:
         from functools import partial
 
         from bist_tpu.utils.benchtime import unprovable_zero
@@ -321,6 +396,33 @@ def main():
 
             out, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
             return out
+
+        if quick:
+            # QUICK TIER: one program (dominant bucket, FIXED chain length —
+            # prewarmed-cache hit), one warm call, QUICK_REPS timed calls.
+            # Total healthy-tunnel need: backend init + one batch staging +
+            # one (cached) compile + ~1 s device time.
+            b = staged[t_main]
+            float(beam_chain(params, b, n=QUICK_CHAIN))       # warm/compile
+            t0 = time.time()
+            for _ in range(QUICK_REPS):
+                float(beam_chain(params, b, n=QUICK_CHAIN))   # fetch = sync
+            dt = time.time() - t0
+            rps = QUICK_REPS * QUICK_CHAIN * B / dt
+            print(json.dumps({
+                "metric": "avsd_generation_throughput",
+                "value": round(rps, 2),
+                "unit": ("responses/sec/chip (QUICK TIER fallback: beam=5, "
+                         "maxlen=12, d_model=128, "
+                         f"{gcfg.cache_dtype} KV cache, "
+                         f"scan_unroll={gcfg.scan_unroll}, single dominant "
+                         f"T={t_main} bucket, chained dispatch, features "
+                         "staged in HBM — full multi-bucket protocol "
+                         "attempts failed this window)"),
+                "vs_baseline": round(rps / REFERENCE_GPU_RESP_PER_SEC, 2),
+                "tier": "quick",
+            }))
+            return
 
         # warm up one compile per distinct (T bucket, chain length)
         for t_pad, k in sched_count.items():
@@ -339,7 +441,6 @@ def main():
         # — includes this harness's ~15 ms/call tunnel RTT, so it is a
         # conservative lower bound on what a production host (µs dispatch)
         # would see; the reference 2.0/s estimate is per-call on a local host.
-        t_main = max(sched_count, key=lambda t: sched_count[t])
         np.asarray(beam_jit(params, staged[t_main]).scores)   # warm compile
         k_probe = 8
         t0 = time.time()
@@ -373,6 +474,7 @@ def main():
                     "the basis of the 2.0/s reference estimate)"
                     if chained else ")")),
         "vs_baseline": round(rps / REFERENCE_GPU_RESP_PER_SEC, 2),
+        "tier": "full",
     }
     if rps_per_call is not None:
         # lower bound: per-call dispatch through this harness's tunnel
@@ -383,6 +485,6 @@ def main():
 
 if __name__ == "__main__":
     if "--run" in sys.argv:
-        main()          # child: the actual benchmark
+        main(quick="--quick" in sys.argv)   # child: the actual benchmark
     else:
         sys.exit(launcher())
