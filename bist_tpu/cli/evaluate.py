@@ -29,6 +29,14 @@ def main(argv=None):
     p.add_argument("--last", "-l", action="store_true", default=True,
                    help="score only last answers per dialog (default true)")
     p.add_argument("--all-turns", dest="last", action="store_false")
+    p.add_argument("--meteor-synonyms", default=None, metavar="FILE",
+                   help="synonym groups file (one space-separated group per "
+                        "line, .gz ok) — activates METEOR's WordNet synonym "
+                        "stage; see bist_tpu/evalkit/meteor.py for the "
+                        "format and a WordNet dump recipe")
+    p.add_argument("--meteor-paraphrase", default=None, metavar="FILE",
+                   help="paraphrase table ('a ||| b' or TSV per line, .gz "
+                        "ok) — activates METEOR's paraphrase stage")
     args = p.parse_args(argv)
 
     multiref = args.reference
@@ -42,11 +50,19 @@ def main(argv=None):
 
     from bist_tpu.evalkit.harness import METRIC_ORDER, evaluate_result_file
 
+    tables = None
+    if args.meteor_synonyms or args.meteor_paraphrase:
+        from bist_tpu.evalkit.meteor import MeteorTables
+
+        tables = MeteorTables.load(synonyms=args.meteor_synonyms,
+                                   paraphrase=args.meteor_paraphrase)
+
     for result in args.results:
         print(f"Result: {result}")
         corpus = evaluate_result_file(result, multiref,
                                       stopwords_path=args.stopwords,
-                                      last_only=args.last)
+                                      last_only=args.last,
+                                      meteor_tables=tables)
         print("--- summary ---")
         for m in METRIC_ORDER:
             print("%s: %.3f" % (m, corpus[m]))

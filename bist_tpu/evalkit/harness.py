@@ -92,12 +92,15 @@ def load_coco_refs(multiref_path: str) -> Dict[int, List[str]]:
     return refs
 
 
-def evaluate_coco(hypotheses: List[dict], multiref_path: str
+def evaluate_coco(hypotheses: List[dict], multiref_path: str,
+                  meteor_tables=None
                   ) -> Tuple[Dict[str, float], List[Dict[str, float]]]:
     """Score hypotheses against the multi-reference ground truth.
 
     Returns (corpus metrics, per-image metrics) with the coco-caption metric
-    names: Bleu_1..4, METEOR, ROUGE_L, CIDEr."""
+    names: Bleu_1..4, METEOR, ROUGE_L, CIDEr.  meteor_tables (an
+    evalkit.meteor.MeteorTables) activates the synonym/paraphrase stages
+    when their data files are available."""
     refs_raw = load_coco_refs(multiref_path)
     hyp_raw = {int(h["image_id"]): [h["caption"]] for h in hypotheses}
     ids = sorted(hyp_raw.keys())
@@ -117,7 +120,8 @@ def evaluate_coco(hypotheses: List[dict], multiref_path: str
     bleu_corpus, bleu_imgs = bleu.compute()
     cider_corpus, cider_imgs = cider.compute()
     rouge_corpus, rouge_imgs = rouge_l_corpus(hyps, refs_list)
-    meteor_mean, meteor_imgs = meteor_corpus(hyps, refs_list)
+    meteor_mean, meteor_imgs = meteor_corpus(hyps, refs_list,
+                                             tables=meteor_tables)
 
     corpus = {f"Bleu_{k+1}": bleu_corpus[k] for k in range(4)}
     corpus["METEOR"] = meteor_mean
@@ -197,14 +201,16 @@ def write_eval_file(path: str, corpus: Dict[str, float],
 def evaluate_result_file(result_path: str, multiref_path: str,
                          stopwords_path: Optional[str] = None,
                          last_only: bool = True,
-                         out_path: Optional[str] = None) -> Dict[str, float]:
+                         out_path: Optional[str] = None,
+                         meteor_tables=None) -> Dict[str, float]:
     """Full stage-3 pipeline for one result JSON (dstc7avsd_eval.sh:24-34)."""
     with open(result_path) as f:
         result = json.load(f)
     sw = StopwordFilter(stopwords_path) if stopwords_path else \
         StopwordFilter(patterns=DEFAULT_STOPWORDS)
     hyps = get_hypotheses(result, last_only=last_only, swfilter=sw)
-    corpus, per_image = evaluate_coco(hyps, multiref_path)
+    corpus, per_image = evaluate_coco(hyps, multiref_path,
+                                      meteor_tables=meteor_tables)
     if out_path is None:
         out_path = os.path.splitext(result_path)[0] + ".eval"
     write_eval_file(out_path, corpus, per_image)

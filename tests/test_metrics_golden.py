@@ -111,3 +111,120 @@ def test_eval_file_byte_layout():
         ours = normalize(open(out).read())
     golden = normalize(open(f"{REF}/sample/{name}.eval").read())
     assert ours == golden
+
+
+# ---- METEOR synonym/paraphrase stages (VERDICT r4 #5): implemented behind
+# data files so download day needs data only.  Toy tables exercise the stage
+# logic; the golden band above runs tables-off and stays unchanged. ----
+
+def _toy_tables(tmp_path, syn_lines=(), para_lines=()):
+    from bist_tpu.evalkit.meteor import MeteorTables
+
+    syn = para = None
+    if syn_lines:
+        syn = str(tmp_path / "syn.txt")
+        open(syn, "w").write("\n".join(syn_lines) + "\n")
+    if para_lines:
+        para = str(tmp_path / "para.txt")
+        open(para, "w").write("\n".join(para_lines) + "\n")
+    return MeteorTables.load(synonyms=syn, paraphrase=para)
+
+
+def test_meteor_tables_absent_is_bit_identical():
+    from bist_tpu.evalkit.meteor import MeteorTables, meteor_single
+
+    hyp = "a man is walking slowly down the street".split()
+    refs = ["the man walks down a road".split(),
+            "someone strolls along the street".split()]
+    assert meteor_single(hyp, refs) == meteor_single(hyp, refs,
+                                                     MeteorTables())
+
+
+def test_meteor_synonym_stage(tmp_path):
+    from bist_tpu.evalkit.meteor import meteor_single
+
+    tables = _toy_tables(tmp_path, syn_lines=[
+        "dog canine puppy", "sofa couch", "walk stroll saunter",
+        "big large", "street road avenue"])
+    hyp = "the dog sits on the couch".split()
+    ref = "the canine sits on the sofa".split()
+    base = meteor_single(hyp, [ref])
+    with_syn = meteor_single(hyp, [ref], tables)
+    assert with_syn > base
+    # every word now matches (4 exact + 2 synonym): P=R use weights 1.0/0.8
+    from bist_tpu.evalkit.meteor import ALPHA, GAMMA, W_SYN, _cw, _wsum
+    mass = sum(_cw(w) for w in ["the", "sits", "on", "the"]) + \
+        W_SYN * (_cw("dog") + _cw("couch"))
+    p = r = mass / _wsum(hyp)
+    f = p * r / (ALPHA * p + (1 - ALPHA) * r)
+    assert with_syn == pytest.approx((1 - GAMMA * (1 / 6) ** 0.2) * f)
+
+
+def test_meteor_synonym_needs_shared_group(tmp_path):
+    from bist_tpu.evalkit.meteor import meteor_single
+
+    tables = _toy_tables(tmp_path, syn_lines=["dog canine", "cat feline"])
+    hyp, ref = "a dog".split(), "a feline".split()
+    assert meteor_single(hyp, [ref], tables) == meteor_single(hyp, [ref])
+
+
+def test_meteor_paraphrase_stage(tmp_path):
+    from bist_tpu.evalkit.meteor import meteor_single
+
+    tables = _toy_tables(tmp_path, para_lines=[
+        "passed away ||| died", "right away ||| immediately",
+        "a lot of ||| many"])
+    hyp = "the man passed away quietly".split()
+    ref = "the man died quietly".split()
+    base = meteor_single(hyp, [ref])
+    with_par = meteor_single(hyp, [ref], tables)
+    assert with_par > base
+    # symmetric application: swapping hyp/ref also gets the credit
+    assert meteor_single(ref, [hyp], tables) > meteor_single(ref, [hyp])
+
+
+def test_meteor_paraphrase_tsv_and_gz(tmp_path):
+    import gzip
+
+    from bist_tpu.evalkit.meteor import MeteorTables, meteor_single
+
+    gz = str(tmp_path / "para.tsv.gz")
+    with gzip.open(gz, "wt") as f:
+        f.write("# comment line\npassed away\tdied\n")
+    tables = MeteorTables.load(paraphrase=gz)
+    hyp = "he passed away".split()
+    ref = "he died".split()
+    assert meteor_single(hyp, [ref], tables) > meteor_single(hyp, [ref])
+
+
+def test_meteor_tables_only_add_score(tmp_path):
+    """Stages can only ADD matches: with-tables >= without on arbitrary
+    pairs (the lower-bound property the golden band relies on)."""
+    from bist_tpu.evalkit.meteor import meteor_single
+
+    tables = _toy_tables(
+        tmp_path,
+        syn_lines=["man person guy", "street road", "walk stroll"],
+        para_lines=["down the street ||| along the road"])
+    cases = [
+        ("a man is walking down the street", ["a person strolls along the road",
+                                              "the guy walks"]),
+        ("nothing in common here", ["completely different words"]),
+        ("the man walks", ["the man walks"]),
+    ]
+    for h, rs in cases:
+        hyp = h.split()
+        refs = [r.split() for r in rs]
+        assert meteor_single(hyp, refs, tables) >= meteor_single(hyp, refs)
+
+
+def test_meteor_golden_band_unchanged_with_empty_tables():
+    """Passing an empty MeteorTables through the harness path changes
+    nothing (the CLI default)."""
+    from bist_tpu.evalkit.meteor import MeteorTables, meteor_corpus
+
+    hyps = [["a", "dog", "runs"], ["hello", "world"]]
+    refs = [[["the", "dog", "ran"]], [["hello", "there", "world"]]]
+    a, _ = meteor_corpus(hyps, refs)
+    b, _ = meteor_corpus(hyps, refs, tables=MeteorTables())
+    assert a == b
