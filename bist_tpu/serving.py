@@ -135,6 +135,12 @@ class Responder:
             batch_buckets = default_batch_buckets(max_batch)
         self.batch_buckets = tuple(sorted(batch_buckets))
         assert self.batch_buckets[-1] == max_batch
+        # per-batch wall-time attribution (seconds, cumulative; read via
+        # DynamicBatcher.metrics()["component_seconds"]) — where each
+        # batch's time goes: host assembly/padding, H2D ship + dispatch,
+        # blocking on the device, token extraction (VERDICT r4 #2)
+        self.timings = {"assemble_s": 0.0, "ship_s": 0.0,
+                        "device_wait_s": 0.0, "extract_s": 0.0}
         # int8 feature transfer: quantize the assembled grid host-side
         # (4× fewer host→device bytes; dequant on device in encode()) —
         # the serving analogue of train.py --feat-int8 (answers identical
@@ -276,22 +282,38 @@ class Responder:
         async, so the H2D transfer and decode of this batch overlap the
         in-flight computation of previously dispatched batches —
         finish() the handles in dispatch order."""
-        batch = self._dp.shard(self.make_batch(reqs))
+        t0 = time.perf_counter()
+        host_batch = self.make_batch(reqs)
+        t1 = time.perf_counter()
+        batch = self._dp.shard(host_batch)
         if self._style == "sample":
             seeds = np.zeros((self.batch_rows(len(reqs)),), np.int32)
             for i, r in enumerate(reqs):
                 seeds[i] = (r.seed if r.seed is not None
                             else next(self._auto_seed))
-            return self._beam(self.params, batch,
-                              self._dp.shard(seeds)), reqs
-        return self._beam(self.params, batch), reqs
+            out = self._beam(self.params, batch, self._dp.shard(seeds)), reqs
+        else:
+            out = self._beam(self.params, batch), reqs
+        t2 = time.perf_counter()
+        self.timings["assemble_s"] += t1 - t0
+        self.timings["ship_s"] += t2 - t1
+        return out
 
     def finish(self, pending) -> None:
         """Block for a dispatch()ed batch's results and complete requests."""
         import jax
 
         fut, reqs = pending
+        t0 = time.perf_counter()
         out = jax.device_get(fut)
+        self.timings["device_wait_s"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        try:
+            self._finish_host(out, reqs)
+        finally:
+            self.timings["extract_s"] += time.perf_counter() - t0
+
+    def _finish_host(self, out, reqs) -> None:
         if self._style in ("greedy", "sample"):
             from bist_tpu.vocab import ids2words
 
@@ -409,6 +431,9 @@ class DynamicBatcher:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {"requests": 0, "batches": 0, "errors": 0}
+        # batcher-side wall attribution (cumulative seconds): time spent
+        # holding the coalescing window open (VERDICT r4 #2)
+        self.timings = {"coalesce_s": 0.0}
         # bounded reservoir of recent request latencies (seconds) for the
         # /metrics endpoint; lock-free append is fine under the GIL
         self._lat: List[float] = []
@@ -438,6 +463,12 @@ class DynamicBatcher:
             "latency_ms": {"p50": pct(0.50), "p90": pct(0.90),
                            "p99": pct(0.99), "count": len(lat)},
             "error_rate": self.stats["errors"] / n_req,
+            # cumulative per-component batch wall time: coalesce window
+            # (batcher), host assembly, H2D ship + dispatch, device block,
+            # token extraction (responder) — the load-sweep attribution
+            "component_seconds": {
+                **getattr(self, "timings", {}),
+                **getattr(getattr(self, "responder", None), "timings", {})},
         }
 
     def start(self) -> None:
@@ -478,7 +509,8 @@ class DynamicBatcher:
             reqs = [first]
             # monotonic: a wall-clock step (NTP) must not stretch or shrink
             # the coalescing window
-            deadline = time.monotonic() + self.max_wait
+            t_co = time.monotonic()
+            deadline = t_co + self.max_wait
             while len(reqs) < self.max_batch:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
@@ -487,6 +519,7 @@ class DynamicBatcher:
                     reqs.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
+            self.timings["coalesce_s"] += time.monotonic() - t_co
             # dispatch per feature-tail group: on a JIT host feat_tail may
             # be unpinned, and one request with a different (S, Dv) grid
             # must not poison its coalesced neighbours (make_batch builds

@@ -51,7 +51,15 @@ def main():
                          "--dv 256 --t-clips 8 --feat-int8 1 to stay "
                          "decode-bound on a tunnelled harness")
     ap.add_argument("--sweep-requests", type=int, default=240,
-                    help="requests per offered-load point")
+                    help="minimum requests per offered-load point")
+    ap.add_argument("--sweep-seconds", type=float, default=0.0,
+                    help="scale each point to rate x seconds requests "
+                         "(min --sweep-requests) so high-load points last "
+                         "long enough to mean something")
+    ap.add_argument("--sweep-workers", type=int, default=256,
+                    help="pre-spawned submit workers for the open-loop "
+                         "generator (one-thread-per-request cannot source "
+                         ">1k req/s of python threads)")
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
@@ -122,33 +130,54 @@ def main():
 
     if args.load_sweep:
         # open-loop latency-vs-load curve on ONE responder (shared compiled
-        # programs; same-window points, like the interleaved A/Bs)
+        # programs; same-window points, like the interleaved A/Bs).  The
+        # arrival clock feeds a pre-spawned worker pool through a queue:
+        # latency is measured from the SCHEDULED arrival, so generator lag,
+        # queueing in the pool and the server all count against the server
+        # (coordinated-omission-free); with every worker busy the excess
+        # shows up as scheduled-arrival backlog, exactly like an overloaded
+        # NIC accept queue.
+        import queue as _queue
+
         server = make_server(args.pipeline_depth)
-        n = args.sweep_requests
-        print(f"offered_rps  achieved_rps  p50_ms  p90_ms  p99_ms  "
-              f"batches  (open-loop, {n} reqs/point)")
+        print(f"offered_rps  achieved_rps  p50_ms  p90_ms  p99_ms  batches  "
+              f"rows/batch  (open-loop, >= {args.sweep_requests} reqs/point, "
+              f"{args.sweep_workers} workers)")
+        comp_tables = []
         for rate in [float(r) for r in args.load_sweep.split(",")]:
+            n = max(args.sweep_requests, int(rate * args.sweep_seconds))
             period = 1.0 / rate
             lat, errs = [], []
             lock = threading.Lock()
             b0 = server.stats["batches"]
+            r0 = server.stats["requests"]
+            c0 = {k: v for k, v in
+                  server.metrics()["component_seconds"].items()}
+            work: "_queue.Queue" = _queue.Queue()
+            done = threading.Event()
 
-            def one(i, t_sched):
-                # latency is measured from the SCHEDULED arrival, so lag in
-                # the arrival loop / thread spawn counts against the server
-                # (coordinated-omission-free — the point of open-loop mode)
-                try:
-                    server.submit(qs[i % 4], history="a man is in a room",
-                                  caption="a man does things",
-                                  features=fts_pool[i % 4])
-                except Exception as e:  # noqa: BLE001 — report, don't skew
+            def worker():
+                while True:
+                    item = work.get()
+                    if item is None:
+                        return
+                    i, t_sched = item
+                    try:
+                        server.submit(qs[i % 4],
+                                      history="a man is in a room",
+                                      caption="a man does things",
+                                      features=fts_pool[i % 4])
+                    except Exception as e:  # noqa: BLE001 — report, not skew
+                        with lock:
+                            errs.append(repr(e))
+                        continue
                     with lock:
-                        errs.append(repr(e))
-                    return
-                with lock:
-                    lat.append(time.perf_counter() - t_sched)
+                        lat.append(time.perf_counter() - t_sched)
 
-            threads = []
+            workers = [threading.Thread(target=worker, daemon=True)
+                       for _ in range(args.sweep_workers)]
+            for w in workers:
+                w.start()
             t_start = time.perf_counter()
             for i in range(n):
                 # fixed arrival clock: sleep to the schedule, not the work
@@ -156,11 +185,11 @@ def main():
                 dt = t_sched - time.perf_counter()
                 if dt > 0:
                     time.sleep(dt)
-                th = threading.Thread(target=one, args=(i, t_sched))
-                th.start()
-                threads.append(th)
-            for th in threads:
-                th.join()
+                work.put((i, t_sched))
+            for _ in workers:
+                work.put(None)
+            for w in workers:
+                w.join()
             wall = time.perf_counter() - t_start
             lat.sort()
             if errs:
@@ -168,10 +197,29 @@ def main():
                       f"(first: {errs[0][:120]})", flush=True)
             if not lat:
                 continue
+            nb = server.stats["batches"] - b0
+            nr = server.stats["requests"] - r0
+            c1 = server.metrics()["component_seconds"]
+            comp = {k: c1[k] - c0.get(k, 0.0) for k in c1}
+            comp_tables.append((rate, len(lat) / wall, nb, nr, wall, comp))
             p = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)] * 1e3
             print(f"{rate:10.1f}  {len(lat) / wall:11.1f}  {p(0.5):6.0f}  "
-                  f"{p(0.9):6.0f}  {p(0.99):6.0f}  "
-                  f"{server.stats['batches'] - b0:7d}", flush=True)
+                  f"{p(0.9):6.0f}  {p(0.99):6.0f}  {nb:7d}  "
+                  f"{nr / max(nb, 1):9.1f}", flush=True)
+        # per-component batch wall-time attribution (the knee's WHY):
+        # batcher-thread seconds per point vs wall — the batcher thread is
+        # serial, so whichever component sums nearest `wall` is the binding
+        # resource at that offered load
+        print("\ncomponent seconds per point (batcher thread is serial; "
+              "wall in col 2):")
+        print("offered_rps   wall_s  coalesce  assemble  ship  device_wait"
+              "  extract")
+        for rate, ach, nb, nr, wall, comp in comp_tables:
+            print(f"{rate:10.1f}  {wall:7.1f}  {comp.get('coalesce_s', 0):8.2f}"
+                  f"  {comp.get('assemble_s', 0):8.2f}"
+                  f"  {comp.get('ship_s', 0):5.2f}"
+                  f"  {comp.get('device_wait_s', 0):11.2f}"
+                  f"  {comp.get('extract_s', 0):7.2f}", flush=True)
         server.stop()
         return
 
