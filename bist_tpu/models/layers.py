@@ -311,6 +311,18 @@ from bist_tpu.ops.dispatch import FLASH_MIN_KV
 # equality-tested in tests/test_model_forward.py.
 HEADS_LAST = _os.environ.get("BIST_HEADS_LAST", "1") != "0"
 
+# EXPERIMENTAL (round 5): keep the head axis in place through the score/attn
+# tensors too — scores "...qhd,...khd->...qhk" (q, h, k) instead of
+# "...qhd,...khd->...hqk" (h, q, k).  Motivation: the round-5 train-step
+# device timeline (scripts/train_profile.py) shows ~2.5 ms/step of layout
+# copies on the grid tensors, dominated by (B,T,S,h,dk) <-> (B,T,h,S,dk)
+# transposes XLA inserts to batch the einsums over h — the qhk form never
+# moves h in front of the sequence axes, so those relayouts have no reason
+# to exist.  Same per-element contraction (d only), softmax still over k:
+# numerically identical; equality-tested in test_model_forward.  Read at
+# trace time; decider A/B decides the default (BENCH.md round 5).
+SCORES_QHK = _os.environ.get("BIST_SCORES_QHK", "0") != "0"
+
 
 def _mha_heads_last(p: Params, h: int, query, key, value, mask,
                     drop_rate, rngs, return_attn):
@@ -319,7 +331,10 @@ def _mha_heads_last(p: Params, h: int, query, key, value, mask,
     Q/K/V stay (..., L, h, d_k) (reshape of the projection — no transpose);
     scores einsum "...qhd,...khd->...hqk" puts heads where the mask/softmax
     code expects them without ever materialising a transposed q/k/v; the
-    context einsum returns (..., q, h, d) so merge is again a free reshape."""
+    context einsum returns (..., q, h, d) so merge is again a free reshape.
+    With SCORES_QHK the score/attn tensors keep heads in place as
+    (..., q, h, k) — see the flag comment; return_attn callers always get
+    the (..., h, q, k) layout either way."""
     def proj_heads(w, x):
         y = linear(w, x)
         *lead, L, d = y.shape
@@ -328,6 +343,21 @@ def _mha_heads_last(p: Params, h: int, query, key, value, mask,
     Q, K, V = (proj_heads(p["wq"], query), proj_heads(p["wk"], key),
                proj_heads(p["wv"], value))
     d_k = Q.shape[-1]
+    if SCORES_QHK:
+        scores = jnp.einsum("...qhd,...khd->...qhk", Q, K,
+                            preferred_element_type=jnp.float32) \
+            / math.sqrt(d_k)
+        if mask is not None:
+            # mask is (..., Lq-or-1, Lk): insert the head axis BEFORE k
+            scores = jnp.where(mask[..., :, None, :] == 0, NEG_INF, scores)
+        attn = jax.nn.softmax(scores, axis=-1).astype(Q.dtype)
+        attn = dropout(attn, drop_rate, rngs)
+        x = jnp.einsum("...qhk,...khd->...qhd", attn, V)
+        *lead, L, hh, dk = x.shape
+        out = linear(p["wo"], x.reshape(*lead, L, hh * dk))
+        if return_attn:
+            return out, jnp.moveaxis(attn, -2, -3)   # (..., h, q, k)
+        return out
     scores = jnp.einsum("...qhd,...khd->...hqk", Q, K,
                         preferred_element_type=jnp.float32) / math.sqrt(d_k)
     if mask is not None:

@@ -35,7 +35,8 @@ def main():
                              "batchsize", "bdcross", "regroupmm",
                              "decodeops", "earlyexit", "encodedtype",
                              "ctxshare", "cachelayout", "headslast",
-                             "trainheads", "layoutcombo", "both"])
+                             "trainheads", "layoutcombo", "scoresqhk",
+                             "scoresqhkdecode", "both"])
     ap.add_argument("--batch-b", type=int, default=96,
                     help="the B side of --what batchsize (decode-throughput "
                          "A/B of two batch sizes in one tunnel window)")
@@ -418,6 +419,33 @@ def main():
         b = max(b_2n - b_n, 0.0) / n_it * 1e3
         print(f"train step  heads-last: {a:.2f} ms  split-heads: {b:.2f} ms  "
               f"(heads-last speedup {b / max(a, 1e-9):.3f}x)")
+
+    if args.what == "scoresqhk":
+        # round-5 train-step timeline finding (scripts/train_profile.py):
+        # ~2.5 ms/step of (B,T,S,h,dk) <-> (B,T,h,S,dk) relayout copies
+        # around the grid-attention einsums.  SCORES_QHK keeps the score/
+        # attn tensors as (..., q, h, k) so h never moves in front of the
+        # sequence axes.  Train-step A/B at flagship geometry.
+        def build_qhk_train(v: bool):
+            layers.SCORES_QHK = v
+            return build_train_chain(False)
+
+        ch_a, ch_b = build_qhk_train(True), build_qhk_train(False)
+        a_n, b_n = interleave(lambda: float(ch_a(state, batch, key, n=n_it)),
+                              lambda: float(ch_b(state, batch, key, n=n_it)),
+                              args.reps)
+        a_2n, b_2n = interleave(
+            lambda: float(ch_a(state, batch, key, n=2 * n_it)),
+            lambda: float(ch_b(state, batch, key, n=2 * n_it)), args.reps)
+        a = max(a_2n - a_n, 0.0) / n_it * 1e3
+        b = max(b_2n - b_n, 0.0) / n_it * 1e3
+        print(f"train step  scores-qhk: {a:.2f} ms  scores-hqk: {b:.2f} ms  "
+              f"(qhk speedup {b / max(a, 1e-9):.3f}x)")
+
+    if args.what == "scoresqhkdecode":
+        # the decode-side half of the same flag (beam chain, bf16 cache)
+        flag_chain_ab(lambda v: setattr(layers, "SCORES_QHK", v),
+                      "scores-qhk", "scores-hqk")
 
     if args.what == "decodeops":
         # ISOLATED op-level costs of one decode-step cross-attention at
