@@ -120,6 +120,11 @@ def main():
     for k, (mname, a, b) in enumerate(windows):
         if k not in per_mod_ops:
             continue
+        if "reduce_sum" in mname or len(per_mod_ops[k]) <= 4:
+            # the jnp.sum() drain wrapper compiles as its own tiny module
+            # interleaved between the component modules — skip it so labels
+            # stay aligned with the traced component call order
+            continue
         label = labels[used] if used < len(labels) else mname
         used += 1
         mdur = b - a
