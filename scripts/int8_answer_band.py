@@ -71,7 +71,7 @@ def make_videos(workdir, n, rng):
 
 def extract(vdir, outdir, int8):
     cmd = [sys.executable, os.path.join(REPO, "extract_features.py"),
-           "--input", vdir, "--output", outdir, "--mode", "feature",
+           "--video_root", vdir, "--output", outdir, "--mode", "feature",
            "--bf16", "1", "--batch_size", "64", "--int8", str(int(int8))]
     t0 = time.time()
     r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
@@ -122,12 +122,17 @@ def main():
                  for v in vids} for d in (fdir_f, fdir_q)}
     T_clips = max(f.shape[0] for f in feats[fdir_f].values())
     S, Dv = feats[fdir_f][vids[0]].shape[1:]
-    # normalise scale: random-init ResNeXt features have large magnitude;
-    # the projection LN handles it, but keep values O(1) for the optimizer
-    norm = float(np.abs(np.stack(
-        [feats[fdir_f][v] for v in vids[:8]])).mean())
+    # per-DIM z-score with train-set statistics (shared by both feature
+    # sets, like a deployed normalizer): random-init ResNeXt features have
+    # per-dim scales spanning orders of magnitude — a global scalar leaves
+    # a few huge dims dominating the projection and the task unlearnable
+    # (measured: flat at chance for 5k steps)
+    train_stack = np.stack([feats[fdir_f][v] for v in vids[:-args.holdout]])
+    mu = train_stack.mean(axis=(0, 1, 2))
+    sd = train_stack.std(axis=(0, 1, 2)) + 1e-6
     print(f"# {len(vids)} videos, grid ({T_clips},{S},{Dv}), "
-          f"|feat| mean {norm:.2f}", file=sys.stderr)
+          f"per-dim sd range [{sd.min():.3g}, {sd.max():.3g}]",
+          file=sys.stderr)
 
     V, B = 60, args.batch
     LQ, LH, LC = 5, 7, 4
@@ -145,7 +150,7 @@ def main():
         fts = np.zeros((len(vid_rows), T_clips, S, Dv), np.float32)
         ans = np.zeros((len(vid_rows), 1), np.int32)
         for r, v in enumerate(vid_rows):
-            f = feats[fdir][v] / norm
+            f = (feats[fdir][v] - mu) / sd
             fts[r, :f.shape[0]] = f
             ans[r, 0] = SIG0 + labels[v]
         trg = np.concatenate([np.full((len(vid_rows), 1), SOS, np.int32),
