@@ -56,6 +56,13 @@ def main():
                     help="scale each point to rate x seconds requests "
                          "(min --sweep-requests) so high-load points last "
                          "long enough to mean something")
+    ap.add_argument("--ab-load", default="",
+                    help="offered load (req/s) for an INTERLEAVED open-loop "
+                         "pipeline-depth A/B: --ab rounds alternating "
+                         "--ab-depths on one responder in one process "
+                         "(cross-window runs are drowned by tunnel weather)")
+    ap.add_argument("--ab-depths", default="2,4",
+                    help="comma depths for --ab-load")
     ap.add_argument("--sweep-workers", type=int, default=256,
                     help="pre-spawned submit workers for the open-loop "
                          "generator (one-thread-per-request cannot source "
@@ -128,82 +135,116 @@ def main():
         server.start()
         return server
 
-    if args.load_sweep:
-        # open-loop latency-vs-load curve on ONE responder (shared compiled
-        # programs; same-window points, like the interleaved A/Bs).  The
-        # arrival clock feeds a pre-spawned worker pool through a queue:
-        # latency is measured from the SCHEDULED arrival, so generator lag,
-        # queueing in the pool and the server all count against the server
-        # (coordinated-omission-free); with every worker busy the excess
-        # shows up as scheduled-arrival backlog, exactly like an overloaded
-        # NIC accept queue.
+    def open_loop_point(server, rate):
+        """One open-loop offered-load point; returns (achieved, lats,
+        n_batches, n_reqs, wall, component_delta) or None if no request
+        completed.  The arrival clock feeds a pre-spawned worker pool
+        through a queue: latency is measured from the SCHEDULED arrival, so
+        generator lag, pool queueing and the server all count against the
+        server (coordinated-omission-free); with every worker busy the
+        excess shows up as scheduled-arrival backlog, exactly like an
+        overloaded NIC accept queue."""
         import queue as _queue
 
+        n = max(args.sweep_requests, int(rate * args.sweep_seconds))
+        period = 1.0 / rate
+        lat, errs = [], []
+        lock = threading.Lock()
+        b0 = server.stats["batches"]
+        r0 = server.stats["requests"]
+        c0 = dict(server.metrics()["component_seconds"])
+        work: "_queue.Queue" = _queue.Queue()
+
+        def worker():
+            while True:
+                item = work.get()
+                if item is None:
+                    return
+                i, t_sched = item
+                try:
+                    server.submit(qs[i % 4], history="a man is in a room",
+                                  caption="a man does things",
+                                  features=fts_pool[i % 4])
+                except Exception as e:  # noqa: BLE001 — report, not skew
+                    with lock:
+                        errs.append(repr(e))
+                    continue
+                with lock:
+                    lat.append(time.perf_counter() - t_sched)
+
+        workers = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(args.sweep_workers)]
+        for w in workers:
+            w.start()
+        t_start = time.perf_counter()
+        for i in range(n):
+            # fixed arrival clock: sleep to the schedule, not the work
+            t_sched = t_start + i * period
+            dt = t_sched - time.perf_counter()
+            if dt > 0:
+                time.sleep(dt)
+            work.put((i, t_sched))
+        for _ in workers:
+            work.put(None)
+        for w in workers:
+            w.join()
+        wall = time.perf_counter() - t_start
+        lat.sort()
+        if errs:
+            print(f"{rate:10.1f}  {len(errs)}/{n} requests FAILED "
+                  f"(first: {errs[0][:120]})", flush=True)
+        if not lat:
+            return None
+        nb = server.stats["batches"] - b0
+        nr = server.stats["requests"] - r0
+        c1 = server.metrics()["component_seconds"]
+        comp = {k: c1[k] - c0.get(k, 0.0) for k in c1}
+        return len(lat) / wall, lat, nb, nr, wall, comp
+
+    if args.ab_load:
+        # INTERLEAVED open-loop pipeline-depth A/B: alternate depths on ONE
+        # responder (shared compiled programs) within one process — the only
+        # read that survives tunnel weather (cross-window runs of the SAME
+        # config measured 195 vs 51 req/s in adjacent minutes, round 5).
+        depths = [int(d) for d in args.ab_depths.split(",")]
+        rate = float(args.ab_load)
+        achieved = {d: [] for d in depths}
+        for r in range(args.ab or 3):
+            for d in depths:
+                server = make_server(d)
+                point = open_loop_point(server, rate)
+                server.stop()
+                if point is None:
+                    continue
+                achieved[d].append(point[0])
+                print(f"# round {r} depth {d}: {point[0]:.1f} req/s "
+                      f"(rows/batch {point[3] / max(point[2], 1):.1f})",
+                      file=sys.stderr, flush=True)
+        for d in depths:
+            if achieved[d]:
+                print(f"depth {d}: mean {statistics.mean(achieved[d]):.1f} "
+                      f"req/s  min {min(achieved[d]):.1f}  "
+                      f"max {max(achieved[d]):.1f}  "
+                      f"({len(achieved[d])} interleaved rounds, offered "
+                      f"{rate:.0f} req/s open-loop)")
+        return
+
+    if args.load_sweep:
+        # open-loop latency-vs-load curve on ONE responder (same-window
+        # points, like the interleaved A/Bs)
         server = make_server(args.pipeline_depth)
         print(f"offered_rps  achieved_rps  p50_ms  p90_ms  p99_ms  batches  "
               f"rows/batch  (open-loop, >= {args.sweep_requests} reqs/point, "
               f"{args.sweep_workers} workers)")
         comp_tables = []
         for rate in [float(r) for r in args.load_sweep.split(",")]:
-            n = max(args.sweep_requests, int(rate * args.sweep_seconds))
-            period = 1.0 / rate
-            lat, errs = [], []
-            lock = threading.Lock()
-            b0 = server.stats["batches"]
-            r0 = server.stats["requests"]
-            c0 = {k: v for k, v in
-                  server.metrics()["component_seconds"].items()}
-            work: "_queue.Queue" = _queue.Queue()
-            done = threading.Event()
-
-            def worker():
-                while True:
-                    item = work.get()
-                    if item is None:
-                        return
-                    i, t_sched = item
-                    try:
-                        server.submit(qs[i % 4],
-                                      history="a man is in a room",
-                                      caption="a man does things",
-                                      features=fts_pool[i % 4])
-                    except Exception as e:  # noqa: BLE001 — report, not skew
-                        with lock:
-                            errs.append(repr(e))
-                        continue
-                    with lock:
-                        lat.append(time.perf_counter() - t_sched)
-
-            workers = [threading.Thread(target=worker, daemon=True)
-                       for _ in range(args.sweep_workers)]
-            for w in workers:
-                w.start()
-            t_start = time.perf_counter()
-            for i in range(n):
-                # fixed arrival clock: sleep to the schedule, not the work
-                t_sched = t_start + i * period
-                dt = t_sched - time.perf_counter()
-                if dt > 0:
-                    time.sleep(dt)
-                work.put((i, t_sched))
-            for _ in workers:
-                work.put(None)
-            for w in workers:
-                w.join()
-            wall = time.perf_counter() - t_start
-            lat.sort()
-            if errs:
-                print(f"{rate:10.1f}  {len(errs)}/{n} requests FAILED "
-                      f"(first: {errs[0][:120]})", flush=True)
-            if not lat:
+            point = open_loop_point(server, rate)
+            if point is None:
                 continue
-            nb = server.stats["batches"] - b0
-            nr = server.stats["requests"] - r0
-            c1 = server.metrics()["component_seconds"]
-            comp = {k: c1[k] - c0.get(k, 0.0) for k in c1}
-            comp_tables.append((rate, len(lat) / wall, nb, nr, wall, comp))
+            ach, lat, nb, nr, wall, comp = point
+            comp_tables.append((rate, ach, nb, nr, wall, comp))
             p = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)] * 1e3
-            print(f"{rate:10.1f}  {len(lat) / wall:11.1f}  {p(0.5):6.0f}  "
+            print(f"{rate:10.1f}  {ach:11.1f}  {p(0.5):6.0f}  "
                   f"{p(0.9):6.0f}  {p(0.99):6.0f}  {nb:7d}  "
                   f"{nr / max(nb, 1):9.1f}", flush=True)
         # per-component batch wall-time attribution (the knee's WHY):
