@@ -66,7 +66,7 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--max-wait-ms", type=float, default=10.0)
-    p.add_argument("--pipeline-depth", type=int, default=2,
+    p.add_argument("--pipeline-depth", type=int, default=4,
                    help="batches kept in flight under backlog: batch N+1's "
                         "host assembly + H2D overlaps batch N's decode; 1 "
                         "restores strictly serial dispatch")

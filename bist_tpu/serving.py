@@ -416,7 +416,7 @@ class DynamicBatcher:
     """Background thread coalescing requests into Responder batches."""
 
     def __init__(self, responder: Responder, max_batch: int = 64,
-                 max_wait_ms: float = 10.0, pipeline_depth: int = 2):
+                 max_wait_ms: float = 10.0, pipeline_depth: int = 4):
         self.responder = responder
         self.max_batch = min(max_batch, responder.max_batch)
         self.max_wait = max_wait_ms / 1000.0
@@ -426,6 +426,10 @@ class DynamicBatcher:
         # this image's tunnel the request path is H2D-bound (BENCH.md), so
         # the overlap is the throughput lever.  Sparse traffic (queue empty
         # after dispatch) drains immediately — no added latency.
+        # Default 4 (round 5): at the open-loop knee, 4 beat 2 at 1.156x
+        # mean over 4 interleaved same-window rounds (bench_serving
+        # --ab-load); 8 collapses batch fill (48.5 rows) and the tail.
+        # Decode-bound co-located clients: --pipeline-depth 1-2.
         self.pipeline_depth = max(1, pipeline_depth)
         self._q: "queue.Queue[Request]" = queue.Queue()
         self._stop = threading.Event()
