@@ -697,3 +697,23 @@ def test_http_audio_model_round_trip(rng):
         httpd.shutdown()
         httpd.server_close()
         server.stop()
+
+
+def test_component_seconds_accumulate(served, rng):
+    """metrics()['component_seconds'] (VERDICT r4 #2 attribution): the four
+    responder components + the batcher coalesce window all accumulate across
+    served requests — the load-sweep attribution contract."""
+    m0 = served.metrics()["component_seconds"]
+    fts = rng.standard_normal((5, 4, 8)).astype(np.float32)
+    for _ in range(3):
+        served.submit("what is he doing", history="a man is walking",
+                      caption="the man", features=fts)
+    m1 = served.metrics()["component_seconds"]
+    for key in ("coalesce_s", "assemble_s", "ship_s", "device_wait_s",
+                "extract_s"):
+        assert key in m1, key
+        assert m1[key] >= m0.get(key, 0.0)
+    # real work happened on the device path, so the dominant components
+    # must have advanced
+    assert m1["device_wait_s"] > m0.get("device_wait_s", 0.0)
+    assert m1["assemble_s"] > m0.get("assemble_s", 0.0)
