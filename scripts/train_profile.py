@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--d-model", type=int, default=128)
     ap.add_argument("--prng", default="rbg", choices=["rbg", "threefry"])
     ap.add_argument("--grad-accum", type=int, default=1)
+    ap.add_argument("--donate", type=int, default=1,
+                    help="donate state buffers as the real loop does "
+                         "(=0 forces update-copies; diagnostic only)")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--steps", type=int, default=1,
                     help="traced steps (module stats use the longest span)")
@@ -97,13 +100,16 @@ def main():
     tx = make_optimizer(cfg.d_model, tcfg.warmup_steps)
     state = TrainState(params=params, opt_state=jax.jit(tx.init)(params),
                        step=jnp.zeros((), jnp.int32))
-    step_fn = make_train_step(cfg, tcfg, tx, donate=False,
+    step_fn = make_train_step(cfg, tcfg, tx, donate=bool(args.donate),
                               grad_accum=args.grad_accum)
     key = jax.random.PRNGKey(1)
 
     print("warmup compile...", file=sys.stderr)
     state, metrics = step_fn(state, batch, key)
     print(f"warm loss {float(metrics['loss']):.4f}", file=sys.stderr)
+    if args.donate:
+        # donated buffers: keep stepping the REUSED state (as the loop does)
+        state, metrics = step_fn(state, batch, key)
 
     trace_dir = args.keep_trace or tempfile.mkdtemp(prefix="bist_tprof_")
     with jax.profiler.trace(trace_dir):
