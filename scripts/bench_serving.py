@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--requests", type=int, default=128)
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
-    ap.add_argument("--pipeline-depth", type=int, default=2,
+    ap.add_argument("--pipeline-depth", type=int, default=4,
                     help="in-flight batches under backlog (1 = serial)")
     ap.add_argument("--ab", type=int, default=0,
                     help="interleaved pipeline-depth A/B: run this many "
